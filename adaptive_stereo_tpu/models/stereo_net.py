@@ -1,0 +1,270 @@
+"""StereoNet (Khamis et al. 2018) — TPU-native flax.linen implementation.
+
+Re-designed from the behavior of the reference torch implementation
+(adaptive_stereo/models/stereo_net.py) — NOT a translation:
+
+- NHWC / NDHWC layouts throughout so 2D and 3D convolutions tile onto the MXU
+  channels-last.
+- The cost volume is one vectorized XLA expression (ops/cost_volume.py), not a
+  Python loop of strided writes (reference :178-182).
+- The disparity-regression constant is a traced iota, not a per-forward
+  re-instantiated device tensor (reference quirk :129,192).
+- BatchNorm: eps=1e-5, momentum 0.1 (flax momentum=0.9), train/eval mode is an
+  explicit `train` argument; running stats are carried through the jitted step
+  as mutable 'batch_stats' collections. This mirrors the reference's published
+  behavior of running BN in train mode with batch=1 during online adaptation
+  (reference adapt.py:313-314).
+- Optional bfloat16 compute (`dtype`) with float32 parameters; soft-argmin and
+  losses always reduce in float32.
+
+Architectural quirks of the reference preserved intentionally:
+- The coarse full-res output multiplies by 2**k while the refinement head
+  scales by the true width ratio (reference :201 vs :113-114).
+- Softmax (not softmin) over the pre-softmax "cost" (the network learns the
+  similarity sign).
+- Convs inside conv+BN stacks keep their (redundant) bias so that reference
+  torch checkpoints import 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.cost_volume import difference_cost_volume
+from ..ops.soft_argmin import soft_argmin
+
+Dtype = Any
+
+
+def coarse_num_disparities(maxdisp: int, input_scale: int, k: int) -> int:
+    """Number of candidate disparities at the coarse cost-volume scale
+    (reference stereo_net.py:169): (maxdisp + 1) // 2^(input_scale + k)."""
+    return (maxdisp + 1) // (2 ** (input_scale + k))
+
+
+def resize_bilinear(x: jnp.ndarray, size) -> jnp.ndarray:
+    """Bilinear resize with half-pixel centers == torch F.interpolate(
+    mode='bilinear', align_corners=False)."""
+    b = x.shape[0]
+    c = x.shape[-1]
+    return jax.image.resize(x, (b, size[0], size[1], c), method="linear")
+
+
+class ConvBN(nn.Module):
+    """Conv2d(+bias) followed by BatchNorm — reference convbn (stereo_net.py:8-18)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    pad: int = 1
+    dilation: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        p = self.dilation if self.dilation > 1 else self.pad
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(p, p), (p, p)],
+            kernel_dilation=(self.dilation, self.dilation),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return x
+
+
+class ConvBN3D(nn.Module):
+    """Conv3d(+bias) followed by BatchNorm — reference convbn_3d (stereo_net.py:21-30).
+    Input layout (B, D, H, W, C)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    pad: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        k, p, s = self.kernel_size, self.pad, self.stride
+        x = nn.Conv(
+            self.features,
+            (k, k, k),
+            strides=(s, s, s),
+            padding=[(p, p)] * 3,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """Residual block — reference stereo_net.py:33-51 (stride 1, no
+    downsample in all live configs).
+
+    QUIRK preserved: the reference defines a second conv (`conv2`) but its
+    forward() never applies it (stereo_net.py:44-51) — the block is
+    x + leaky_relu(convbn(x)), and conv2's parameters are dead weight in
+    every published checkpoint. We mirror the live computation; the importer
+    simply carries the unused conv2 tensors along so state dicts round-trip.
+    """
+
+    features: int
+    dilation: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        out = ConvBN(self.features, 3, 1, 1, self.dilation, self.dtype, name="conv1")(x, train)
+        out = nn.leaky_relu(out, negative_slope=0.2)
+        return x + out
+
+
+class FeatureExtractorNetwork(nn.Module):
+    """Siamese feature tower — reference stereo_net.py:54-85.
+
+    k stride-2 5x5 convs (3 -> 32 channels), 6 residual blocks, final 3x3 conv.
+    Downsamples spatial dims by 2^k. Weights are shared between left/right by
+    applying the same module instance to both views.
+    """
+
+    k: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, rgb_img, train: bool = True):
+        x = rgb_img if self.dtype is None else rgb_img.astype(self.dtype)
+        for i in range(self.k):
+            x = nn.Conv(
+                32, (5, 5), strides=(2, 2), padding=[(2, 2), (2, 2)],
+                dtype=self.dtype, name=f"downsample_{i}",
+            )(x)
+        for i in range(6):
+            x = BasicBlock(32, 1, self.dtype, name=f"residual_{i}")(x, train)
+        return nn.Conv(32, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv_alone")(x)
+
+
+class EdgeAwareRefinement(nn.Module):
+    """Edge-aware disparity refinement — reference stereo_net.py:88-121.
+
+    Bilinearly upsamples the coarse disparity to the guidance resolution,
+    scales values by the width ratio, concatenates with the RGB guide, runs a
+    dilated residual tower (dilations 1,2,4,8,1,1) and adds a 1-channel
+    residual, followed by ReLU.
+    """
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, coarse_disparity, guidance_rgb, train: bool = True):
+        # coarse_disparity: (B, h, w); guidance_rgb: (B, H, W, 3).
+        h, w = guidance_rgb.shape[1], guidance_rgb.shape[2]
+        up = resize_bilinear(coarse_disparity[..., None], (h, w))
+        scale_factor = guidance_rgb.shape[2] / coarse_disparity.shape[2]
+        up = up * scale_factor
+
+        x = jnp.concatenate([up.astype(guidance_rgb.dtype), guidance_rgb], axis=-1)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = ConvBN(32, 3, 1, 1, 1, self.dtype, name="conv2d_feature")(x, train)
+        x = nn.leaky_relu(x, negative_slope=0.2)
+        for i, di in enumerate([1, 2, 4, 8, 1, 1]):
+            x = BasicBlock(32, di, self.dtype, name=f"astrous_{i}")(x, train)
+        residual = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv2d_out")(x)
+        return nn.relu(up + residual.astype(up.dtype))
+
+
+class StereoNet(nn.Module):
+    """Cost-volume aggregation + regression + refinement head — reference
+    stereo_net.py:137-207.
+
+    __call__(left_img, left_features, right_features, side) returns a dict:
+      pred_disp_{side}/{input_scale + k} : coarse disparity, bilinearly
+          upsampled to the input resolution and multiplied by 2^k; (B, H, W, 1)
+      pred_disp_{side}/{input_scale}     : refined disparity; (B, H, W, 1)
+      cost_volume_{side}/{input_scale+k} : (optional) pre-softmax aggregated
+          cost volume, (B, D, h, w)
+    """
+
+    k: int
+    r: int = 1
+    input_scale: int = 0
+    maxdisp: int = 192
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        left_img,
+        left_features,
+        right_features,
+        side: str = "l",
+        output_cost_volume: bool = False,
+        train: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        num_disp = coarse_num_disparities(self.maxdisp, self.input_scale, self.k)
+        outputs: Dict[str, jnp.ndarray] = {}
+
+        cost = difference_cost_volume(left_features, right_features, num_disp)
+        for i in range(4):
+            cost = ConvBN3D(32, 3, 1, 1, self.dtype, name=f"filter_{i}")(cost, train)
+            cost = nn.leaky_relu(cost, negative_slope=0.2)
+        cost = nn.Conv(
+            1, (3, 3, 3), padding=[(1, 1)] * 3, dtype=self.dtype, name="conv3d_alone"
+        )(cost)
+
+        # (B, D, h, w): soft-argmin over the disparity axis in float32.
+        cost = jnp.squeeze(cost, -1).astype(jnp.float32)
+        pred = soft_argmin(cost, axis=1)
+
+        coarse_scale = self.input_scale + self.k
+        if output_cost_volume:
+            outputs[f"cost_volume_{side}/{coarse_scale}"] = cost
+
+        h, w = left_img.shape[1], left_img.shape[2]
+        outputs[f"pred_disp_{side}/{coarse_scale}"] = (2 ** self.k) * resize_bilinear(
+            pred[..., None], (h, w)
+        )
+        outputs[f"pred_disp_{side}/{self.input_scale}"] = EdgeAwareRefinement(
+            self.dtype, name="refinement_0"
+        )(pred, left_img, train)
+        return outputs
+
+
+class StereoModel(nn.Module):
+    """Convenience wrapper running the siamese feature tower on both views and
+    the StereoNet head — one jittable forward (reference train.py:19-22)."""
+
+    k: int
+    input_scale: int = 0
+    maxdisp: int = 192
+    dtype: Optional[Dtype] = None
+
+    def setup(self):
+        self.feature_net = FeatureExtractorNetwork(self.k, self.dtype)
+        self.stereo_net = StereoNet(self.k, 1, self.input_scale, self.maxdisp, self.dtype)
+
+    def __call__(self, left_img, right_img, side: str = "l",
+                 output_cost_volume: bool = False, train: bool = True):
+        fl = self.feature_net(left_img, train)
+        fr = self.feature_net(right_img, train)
+        return self.stereo_net(left_img, fl, fr, side, output_cost_volume, train)

@@ -1,0 +1,111 @@
+"""End-to-end StereoNet forward parity vs the reference torch model.
+
+Randomly initializes the reference FeatureExtractorNetwork + StereoNet on CPU,
+exports their state dicts, imports them through models.torch_import, and
+compares the full forward pass (eval mode and train mode) output-by-output.
+This validates: cost volume, 3D aggregation, soft-argmin, bilinear
+upsampling semantics, edge-aware refinement, BatchNorm parity, and the
+checkpoint importer itself.
+"""
+
+import numpy as np
+import pytest
+
+from reference_shim import REFERENCE_AVAILABLE
+
+if REFERENCE_AVAILABLE:
+    import torch
+    from adaptive_stereo.models.stereo_net import (
+        FeatureExtractorNetwork as RefFeatureNet,
+        StereoNet as RefStereoNet,
+    )
+
+import jax.numpy as jnp
+
+from adaptive_stereo_tpu.models import (
+    StereoModel,
+    import_feature_net_state_dict,
+    import_stereo_net_state_dict,
+)
+
+pytestmark = pytest.mark.skipif(not REFERENCE_AVAILABLE, reason="reference mount missing")
+
+
+def _build_pair(k, input_scale, h, w, seed=7):
+    torch.manual_seed(seed)
+    ref_feat = RefFeatureNet(k)
+    ref_stereo = RefStereoNet(k, 1, input_scale, maxdisp=192)
+
+    rng = np.random.RandomState(seed)
+    left = rng.rand(2, h, w, 3).astype(np.float32)
+    right = rng.rand(2, h, w, 3).astype(np.float32)
+
+    fp, fs = import_feature_net_state_dict(ref_feat.state_dict(), k)
+    sp, ss = import_stereo_net_state_dict(ref_stereo.state_dict())
+    variables = {
+        "params": {"feature_net": fp, "stereo_net": sp},
+        "batch_stats": {"feature_net": fs, "stereo_net": ss},
+    }
+    return ref_feat, ref_stereo, variables, left, right
+
+
+def _ref_forward(ref_feat, ref_stereo, left, right, train):
+    if train:
+        ref_feat.train(); ref_stereo.train()
+    else:
+        ref_feat.eval(); ref_stereo.eval()
+    with torch.no_grad():
+        lt = torch.from_numpy(np.moveaxis(left, -1, 1).copy())
+        rt = torch.from_numpy(np.moveaxis(right, -1, 1).copy())
+        fl, fr = ref_feat(lt), ref_feat(rt)
+        return ref_stereo(lt, fl, fr, "l", output_cost_volume=True)
+
+
+@pytest.mark.parametrize("k,input_scale", [(3, 1), (4, 0)])
+def test_forward_parity_eval(k, input_scale):
+    h, w = 64, 96
+    ref_feat, ref_stereo, variables, left, right = _build_pair(k, input_scale, h, w)
+    ref_out = _ref_forward(ref_feat, ref_stereo, left, right, train=False)
+
+    model = StereoModel(k=k, input_scale=input_scale)
+    ours = model.apply(
+        variables, jnp.asarray(left), jnp.asarray(right),
+        side="l", output_cost_volume=True, train=False,
+    )
+
+    coarse = input_scale + k
+    for key, ref_t in ref_out.items():
+        ref_np = ref_t.numpy()
+        mine = np.asarray(ours[key])
+        if key.startswith("pred_disp"):
+            mine = np.moveaxis(mine, -1, 1)  # NHWC disp (B,H,W,1) -> (B,1,H,W)
+        np.testing.assert_allclose(
+            ref_np, mine, atol=2e-3, rtol=1e-4,
+            err_msg=f"mismatch for output {key} (k={k}, s={input_scale})",
+        )
+    assert f"cost_volume_l/{coarse}" in ours
+
+
+def test_forward_parity_train_mode_batchnorm():
+    """Train-mode BN (batch statistics) parity — the mode used during online
+    adaptation with batch_size=1 (reference adapt.py:313-314)."""
+    k, input_scale, h, w = 3, 1, 64, 96
+    ref_feat, ref_stereo, variables, left, right = _build_pair(k, input_scale, h, w)
+    ref_out = _ref_forward(ref_feat, ref_stereo, left, right, train=True)
+
+    model = StereoModel(k=k, input_scale=input_scale)
+    ours, _mutated = model.apply(
+        variables, jnp.asarray(left), jnp.asarray(right),
+        side="l", output_cost_volume=True, train=True,
+        mutable=["batch_stats"],
+    )
+
+    for key, ref_t in ref_out.items():
+        ref_np = ref_t.numpy()
+        mine = np.asarray(ours[key])
+        if key.startswith("pred_disp"):
+            mine = np.moveaxis(mine, -1, 1)
+        np.testing.assert_allclose(
+            ref_np, mine, atol=5e-3, rtol=1e-3,
+            err_msg=f"train-mode mismatch for output {key}",
+        )
