@@ -1,0 +1,12 @@
+"""Training / adaptation engines: jitted step functions + host-side drivers."""
+
+from .config import ModelConfig, OptimConfig, AdaptConfig, DataConfig, ExperimentConfig
+from .state import TrainState, create_train_state
+from .steps import (
+    make_train_step,
+    make_eval_step,
+    make_adapt_forward_backward,
+    make_infer_step,
+    make_apply_updates,
+    make_ovs_validate_step,
+)

@@ -1,0 +1,275 @@
+"""Jitted step functions — each hot loop body is ONE XLA program.
+
+The reference's adaptation loop body (forward + photometric loss + FCS +
+replay forward + backward + Adam, reference adapt.py:290-396) is fused here
+into a single value_and_grad step. The only host round-trip per step is the
+scalar FCS (the OOD/reservoir gate is host logic by design — it owns python
+RNG and the image buffer). Parameter updates are applied by a second tiny
+jitted function with a traced `do_update` mask, so OOD-gated skip steps reuse
+the same compiled executable (no recompilation; SURVEY.md §7 "recompilation
+discipline").
+
+BatchNorm semantics mirror the reference exactly: train-mode forwards update
+running stats on EVERY forward (including replay forwards and steps whose
+gradient update is skipped); eval/DONE-state forwards use running stats and
+do not mutate them (reference adapt.py:309-314).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import (
+    feature_contrast_mean,
+    khamis_robust_loss,
+    khamis_robust_loss_multiscale,
+    monodepth_single_loss,
+)
+
+
+def clip_stereo_net_grads(grads: Any, max_norm: float = 1.0) -> Any:
+    """Clip ONLY the stereo_net parameter gradients to a global norm.
+
+    Reference quirk preserved: both engines clip stereo_net.parameters() and
+    never feature_net's (train.py:220-222, adapt.py:391-392). torch semantics:
+    scale by max_norm / (total_norm + 1e-6) when that is < 1.
+    """
+    sub = grads["stereo_net"]
+    leaves = jax.tree.leaves(sub)
+    total_norm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in leaves))
+    scale = jnp.minimum(max_norm / (total_norm + 1e-6), 1.0)
+    clipped = jax.tree.map(lambda g: g * scale, sub)
+    return {**grads, "stereo_net": clipped}
+
+
+def _epe(pred_disp: jnp.ndarray, gt_disp: jnp.ndarray) -> jnp.ndarray:
+    """Mean absolute disparity error over gt > 0 (reference train.py:103)."""
+    mask = (gt_disp > 0).astype(jnp.float32)
+    err = jnp.abs(pred_disp - gt_disp) * mask
+    return jnp.sum(err) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def make_train_step(model, tx, input_scale: int, scales: Sequence[int], clip_grad_norm: bool):
+    """Supervised training step: multiscale Khamis loss + Adam
+    (reference train.py:204-223)."""
+
+    @jax.jit
+    def train_step(state, batch):
+        left = batch[f"color_l/{input_scale}"]
+        right = batch[f"color_r/{input_scale}"]
+
+        def loss_fn(params):
+            outputs, mut = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                left, right, side="l", output_cost_volume=False, train=True,
+                mutable=["batch_stats"],
+            )
+            losses = khamis_robust_loss_multiscale(
+                batch, outputs, scales=scales, gt_disp_scale=input_scale
+            )
+            return losses["total_loss"], (losses, mut["batch_stats"])
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        if clip_grad_norm:
+            grads = clip_stereo_net_grads(grads)
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, losses
+
+    return train_step
+
+
+def make_eval_step(model, input_scale: int, k: int):
+    """Per-batch eval metrics — the comparison contract (reference
+    train.py:74-126 / SURVEY §3.4): EPE over gt>0, D1-all at 2/3/4/5 px,
+    mean image FCS."""
+    coarse = input_scale + k
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch):
+        left = batch[f"color_l/{input_scale}"]
+        right = batch[f"color_r/{input_scale}"]
+        outputs = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            left, right, side="l", output_cost_volume=True, train=False,
+        )
+        pred = outputs[f"pred_disp_l/{input_scale}"]
+        gt = batch[f"gt_disp_l/{input_scale}"]
+        mask = (gt > 0)
+        maskf = mask.astype(jnp.float32)
+        n_valid = jnp.maximum(jnp.sum(maskf), 1.0)
+        abs_err = jnp.abs(pred - gt)
+
+        metrics = {"EPE": jnp.sum(abs_err * maskf) / n_valid}
+        for t in (2, 3, 4, 5):
+            metrics[f"D1_all_{t}px"] = (
+                jnp.sum(maskf * (abs_err > t)) / jnp.sum(maskf)
+            )
+        metrics["FCS"] = jnp.mean(
+            feature_contrast_mean(outputs[f"cost_volume_l/{coarse}"])
+        )
+        return metrics
+
+    return eval_step
+
+
+def make_adapt_forward_backward(
+    model,
+    input_scale: int,
+    k: int,
+    smoothness_weight: float = 1e-3,
+    er_loss_weight: float = 0.05,
+    use_er: bool = False,
+):
+    """Fused adaptation forward+backward (reference adapt.py:327-396 loop body).
+
+    Returns (grads, new_batch_stats, aux) where aux carries every scalar the
+    host loop needs: Monodepth loss, optional Replay loss, raw FCS, EPE vs the
+    stream's GT (for logging). Train-mode BN: main forward updates stats, then
+    the replay forward updates them again, in that order (matching the
+    sequential torch forwards).
+    """
+    coarse = input_scale + k
+
+    @jax.jit
+    def fwd_bwd(params, batch_stats, batch, er_batch):
+        left = batch[f"color_l/{input_scale}"]
+        right = batch[f"color_r/{input_scale}"]
+
+        def loss_fn(p):
+            outputs, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                left, right, side="l", output_cost_volume=True, train=True,
+                mutable=["batch_stats"],
+            )
+            stats = mut["batch_stats"]
+            mono_loss, _warped = monodepth_single_loss(
+                left, right, outputs[f"pred_disp_l/{input_scale}"], smoothness_weight
+            )
+            losses = {"Monodepth/total_loss": mono_loss}
+            total = mono_loss
+            if use_er:
+                er_outputs, mut2 = model.apply(
+                    {"params": p, "batch_stats": stats},
+                    er_batch[f"color_l/{input_scale}"],
+                    er_batch[f"color_r/{input_scale}"],
+                    side="l", output_cost_volume=False, train=True,
+                    mutable=["batch_stats"],
+                )
+                stats = mut2["batch_stats"]
+                replay = khamis_robust_loss(
+                    er_outputs[f"pred_disp_l/{input_scale}"],
+                    er_batch[f"gt_disp_l/{input_scale}"],
+                )
+                losses["Replay/total_loss"] = replay
+                total = total + er_loss_weight * replay
+
+            fcs_raw = jnp.mean(
+                feature_contrast_mean(outputs[f"cost_volume_l/{coarse}"])
+            )
+            pred = outputs[f"pred_disp_l/{input_scale}"]
+            return total, (losses, stats, fcs_raw, pred)
+
+        (_, (losses, new_stats, fcs_raw, pred)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+
+        aux = dict(losses)
+        aux["fcs_raw"] = fcs_raw
+        gt_key = f"gt_disp_l/{input_scale}"
+        if gt_key in batch:
+            aux["EPE"] = _epe(pred, batch[gt_key])
+        return grads, new_stats, aux
+
+    return fwd_bwd
+
+
+def make_infer_step(
+    model, input_scale: int, k: int, smoothness_weight: float = 1e-3
+):
+    """Eval-mode stream step for the DONE state (reference adapt.py:309-311):
+    forward + Monodepth loss + FCS, no gradients, no BN mutation."""
+    coarse = input_scale + k
+
+    @jax.jit
+    def infer(params, batch_stats, batch):
+        left = batch[f"color_l/{input_scale}"]
+        right = batch[f"color_r/{input_scale}"]
+        outputs = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            left, right, side="l", output_cost_volume=True, train=False,
+        )
+        pred = outputs[f"pred_disp_l/{input_scale}"]
+        mono_loss, _ = monodepth_single_loss(left, right, pred, smoothness_weight)
+        aux = {
+            "Monodepth/total_loss": mono_loss,
+            "fcs_raw": jnp.mean(feature_contrast_mean(outputs[f"cost_volume_l/{coarse}"])),
+        }
+        gt_key = f"gt_disp_l/{input_scale}"
+        if gt_key in batch:
+            aux["EPE"] = _epe(pred, batch[gt_key])
+        return aux, pred
+
+    return infer
+
+
+def make_apply_updates(clip_grad_norm: bool):
+    """Masked Adam update: do_update=False keeps params and optimizer state
+    bit-identical while reusing the same compiled step (the reference instead
+    python-branches around optimizer.step(), adapt.py:380-396)."""
+
+    @jax.jit
+    def apply(state, grads, new_batch_stats, do_update):
+        if clip_grad_norm:
+            grads = clip_stereo_net_grads(grads)
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        def select(new, old):
+            return jax.tree.map(
+                lambda n, o: jnp.where(do_update, n, o), new, old
+            )
+
+        return state.replace(
+            step=state.step + 1,
+            params=select(new_params, state.params),
+            opt_state=select(new_opt_state, state.opt_state),
+            batch_stats=new_batch_stats,
+        )
+
+    return apply
+
+
+def make_ovs_validate_step(model, input_scale: int, smoothness_weight: float = 1e-3):
+    """Recompute the Monodepth loss for every OVS pair in ONE batched
+    eval-mode forward (the reference loops per-image, adapt.py:122-142).
+    Returns a (N,) vector of per-pair losses."""
+
+    @jax.jit
+    def validate(params, batch_stats, left_stack, right_stack):
+        outputs = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            left_stack, right_stack, side="l", output_cost_volume=False, train=False,
+        )
+        pred = outputs[f"pred_disp_l/{input_scale}"]
+
+        def per_item(l, r, p):
+            loss, _ = monodepth_single_loss(l[None], r[None], p[None], smoothness_weight)
+            return loss
+
+        return jax.vmap(per_item)(left_stack, right_stack, pred)
+
+    return validate

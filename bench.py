@@ -1,0 +1,112 @@
+"""Benchmark: adapted-stereo throughput on real TPU hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: fused online-adaptation steps/sec (forward + Monodepth loss
++ FCS + replay forward + backward + masked Adam, one XLA program + update) at
+the canonical paper configuration — 320x960, k=4, input_scale=0, batch 1
+(reference experiments/adaptation/adapt_vs_er.sh). This is "adapted stereo
+fps": every streamed frame gets a full adaptation step.
+
+vs_baseline is measured against the BASELINE.json real-time target of 30 fps
+adapted stereo (the reference repo publishes no throughput numbers —
+SURVEY.md §6; its timing harness evaluation/stereonet_timing.py:22-75 exists
+but has no committed results).
+
+Extra diagnostic metrics (forward-only fps, etc.) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _time_fn(fn, *args, warmup=3, iters=20):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from adaptive_stereo_tpu.engine import (
+        create_train_state,
+        make_adapt_forward_backward,
+        make_apply_updates,
+    )
+    from adaptive_stereo_tpu.models import StereoModel
+
+    k, s, h, w = 4, 0, 320, 960
+    dtype_name = "bfloat16"
+    model = StereoModel(k=k, input_scale=s, dtype=jnp.bfloat16)
+    model_f32 = StereoModel(k=k, input_scale=s)
+
+    rng = np.random.RandomState(0)
+    left = jnp.asarray(rng.rand(1, h, w, 3), jnp.float32)
+    right = jnp.asarray(rng.rand(1, h, w, 3), jnp.float32)
+    gt = jnp.asarray(rng.rand(1, h, w, 1) * 60, jnp.float32)
+    batch = {f"color_l/{s}": left, f"color_r/{s}": right, f"gt_disp_l/{s}": gt}
+    er_batch = batch
+
+    state = create_train_state(model, jax.random.PRNGKey(0), left, right, 5e-5)
+
+    fwd_bwd = make_adapt_forward_backward(model, s, k, use_er=True)
+    apply_up = make_apply_updates(clip_grad_norm=True)
+
+    def full_adapt_step(state, batch, er_batch):
+        grads, stats, aux = fwd_bwd(state.params, state.batch_stats, batch, er_batch)
+        new_state = apply_up(state, grads, stats, jnp.asarray(True))
+        return new_state, aux["fcs_raw"]
+
+    # --- fused adapt step (headline) ---
+    t_adapt = _time_fn(lambda: full_adapt_step(state, batch, er_batch))
+    adapt_fps = 1.0 / t_adapt
+
+    # --- forward-only (serving) fps, bf16 and f32 ---
+    fwd = jax.jit(
+        lambda v, l, r: model.apply(v, l, r, side="l", output_cost_volume=True, train=False)
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    t_fwd = _time_fn(fwd, variables, left, right)
+
+    state32 = create_train_state(model_f32, jax.random.PRNGKey(0), left, right, 5e-5)
+    fwd32 = jax.jit(
+        lambda v, l, r: model_f32.apply(v, l, r, side="l", output_cost_volume=True, train=False)
+    )
+    v32 = {"params": state32.params, "batch_stats": state32.batch_stats}
+    t_fwd32 = _time_fn(fwd32, v32, left, right)
+
+    print(
+        f"[bench] adapt_step {1e3*t_adapt:.2f} ms ({adapt_fps:.1f} steps/s) | "
+        f"forward bf16 {1e3*t_fwd:.2f} ms ({1/t_fwd:.1f} fps) | "
+        f"forward f32 {1e3*t_fwd32:.2f} ms ({1/t_fwd32:.1f} fps) | "
+        f"config 320x960 k={k} s={s} b=1 dtype={dtype_name}",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({
+        "metric": "adapt_steps_per_sec_320x960_k4_b1",
+        "value": round(adapt_fps, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(adapt_fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
