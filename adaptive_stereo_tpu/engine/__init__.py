@@ -10,3 +10,7 @@ from .steps import (
     make_apply_updates,
     make_ovs_validate_step,
 )
+from .evaluate import evaluate
+from .checkpoint import save_checkpoint, load_checkpoint, load_variables
+from .train import train
+from .adapt import adapt, State, StateMachine

@@ -1,0 +1,4 @@
+"""Serving: stream-ingest stereo depth engine (ROS-node-shaped API)."""
+
+from .config import ServingConfig
+from .stream import StereoDepthEngine, disparity_to_depth, depth_to_pointcloud, voxel_downsample

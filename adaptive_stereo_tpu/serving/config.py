@@ -1,0 +1,33 @@
+"""Serving configuration (behavioral contract of reference ros/config.py:12-62,
+minus ROS topic plumbing — ROS itself is out of scope, the stream-API shape is
+kept per SURVEY.md §3.5)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def _default_intrinsics() -> np.ndarray:
+    return np.array(
+        [[1329.0, 0.0, 607.5], [0.0, 1329.0, 159.5], [0.0, 0.0, 1.0]], np.float64
+    )
+
+
+@dataclass
+class ServingConfig:
+    model_input_height: int = 320
+    model_input_width: int = 1216
+    stereonet_k: int = 4
+    input_scale: int = 0
+    load_weights_folder: str = ""
+
+    max_depth: float = 100.0
+    stereo_baseline_meters: float = 1.0
+    voxel_disp_scale: int = 2        # pyramid scale used for the voxel map
+    voxel_scale_meters: float = 0.15
+    publish_disp_hz: float = 20.0
+    publish_color_point_cloud: bool = True
+    camera_intrinsics: np.ndarray = field(default_factory=_default_intrinsics)
+    compute_dtype: str = "bfloat16"

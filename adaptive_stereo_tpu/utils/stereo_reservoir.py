@@ -1,0 +1,53 @@
+"""Reservoir-sampled online validation set (OVS) buffer.
+
+Behavioral contract from reference utils/stereo_reservoir.py:5-69 (Algorithm
+R with index dedup). Host-side by design: it owns python RNG and stores
+device arrays (the images stay on device so OVS validation runs without a
+host->device copy).
+
+Determinism: takes an explicit seeded random.Random (reference seeds global
+random to 123, adapt.py:28); per-stream instances get per-stream seeds.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any, List, Optional, Set
+
+
+class StereoReservoir:
+    def __init__(self, max_size: int, rng: Optional[random.Random] = None):
+        self.max_size = max_size
+        self.buf: List[list] = []          # entries: [value, img_index, img_l, img_r]
+        self.indices: Set[int] = set()
+        self.i = 0                         # items streamed so far
+        self._rng = rng if rng is not None else random.Random(123)
+
+    def add(self, img_l: Any, img_r: Any, value: float, img_index: int) -> bool:
+        """(Maybe) add an item via Algorithm R. Returns True iff stored.
+
+        Mirrors the reference exactly, including its quirks: the stream
+        counter increments before the dedup check, and replacement does NOT
+        update the dedup index set (reference stereo_reservoir.py:39-54).
+        """
+        self.i += 1
+        if img_index in self.indices:
+            return False
+        if len(self.buf) < self.max_size:
+            self.buf.append([value, img_index, img_l, img_r])
+            self.indices.add(img_index)
+            return True
+        j = self._rng.randint(1, self.i)
+        if j <= self.max_size:
+            self.buf[j - 1] = [value, img_index, img_l, img_r]
+            return True
+        return False
+
+    def update_value(self, buf_index: int, new_value: float) -> None:
+        self.buf[buf_index][0] = new_value
+
+    def size(self) -> int:
+        return len(self.buf)
+
+    def average_value(self) -> float:
+        return sum(item[0] for item in self.buf) / len(self.buf)

@@ -1,0 +1,167 @@
+"""End-to-end slices on the synthetic dataset: supervised training, online
+adaptation with every mode's gating behavior, checkpoint round-trip.
+
+Small shapes keep CPU compile+run time bounded; the semantics exercised are
+the full production paths (SURVEY.md §7 steps 4-6).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from adaptive_stereo_tpu.data import generate_synthetic_dataset
+from adaptive_stereo_tpu.engine import (
+    AdaptConfig,
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    OptimConfig,
+)
+
+H, W = 64, 96
+K, S = 3, 1
+
+
+def _cfg(root, log_dir, name, **adapt_kw):
+    return ExperimentConfig(
+        model_name=name,
+        log_dir=log_dir,
+        num_epochs=1,
+        log_frequency=10,
+        seed=123,
+        model=ModelConfig(k=K, input_scale=S),
+        optim=OptimConfig(learning_rate=1e-4, scheduler_step_size=1000, clip_grad_norm=True),
+        data=DataConfig(dataset_path=root, dataset_name="Synthetic", split="synth",
+                        height=H, width=W, batch_size=2, num_workers=2),
+        adapt=AdaptConfig(**adapt_kw),
+    )
+
+
+@pytest.fixture(scope="module")
+def roots(tmp_path_factory):
+    train_root = str(tmp_path_factory.mktemp("train_domain"))
+    novel_root = str(tmp_path_factory.mktemp("novel_domain"))
+    generate_synthetic_dataset(train_root, name="synth", num_train=8, num_val=2,
+                               height=H, width=W, max_disp=16.0, seed=0)
+    generate_synthetic_dataset(novel_root, name="synth", num_train=24, num_val=2,
+                               height=H, width=W, max_disp=16.0, seed=50,
+                               domain_shift=True)
+    return train_root, novel_root
+
+
+@pytest.fixture(scope="module")
+def pretrained(roots, tmp_path_factory):
+    """Briefly pretrain on the training domain; reused by adaptation tests."""
+    from adaptive_stereo_tpu.engine import train
+
+    train_root, _ = roots
+    log_dir = str(tmp_path_factory.mktemp("logs_train"))
+    cfg = _cfg(train_root, log_dir, "pretrain")
+    cfg.num_epochs = 10
+    cfg.save_freq = 100  # skip mid-run checkpoints
+    cfg.fast_eval = False
+    result = train(cfg)
+    state = result["state"]
+    return {"params": state.params, "batch_stats": state.batch_stats}, result
+
+
+def test_supervised_training_learns(pretrained, roots):
+    variables, result = pretrained
+    assert result["steps"] == 10 * 4  # 8 items / batch 2 = 4 steps x 10 epochs
+    m = result["final_metrics"]
+    assert np.isfinite(m["EPE"])
+    # Untrained EPE on this data is ~10 px (soft-argmin of noise); 40 steps
+    # must pull it down substantially.
+    assert m["EPE"] < 5.5, m
+
+
+def test_checkpoint_roundtrip(pretrained, roots, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from adaptive_stereo_tpu.engine import (
+        create_train_state, load_checkpoint, save_checkpoint,
+    )
+    from adaptive_stereo_tpu.models import StereoModel
+
+    variables, result = pretrained
+    state = result["state"]
+    folder = save_checkpoint(str(tmp_path), state, "t", {"note": "test"})
+    assert os.path.exists(os.path.join(folder, "state.msgpack"))
+
+    model = StereoModel(k=K, input_scale=S)
+    dummy = jnp.zeros((1, H // 2 ** S, W // 2 ** S, 3), jnp.float32)
+    fresh = create_train_state(model, jax.random.PRNGKey(0), dummy, dummy, 1e-4)
+    restored = load_checkpoint(folder, fresh)
+    same = jax.tree.map(lambda a, b: bool(jnp.all(a == b)), restored.params, state.params)
+    assert all(jax.tree.leaves(same))
+    assert int(restored.step) == int(state.step)
+
+
+def test_adapt_nonstop_reduces_monodepth_loss(pretrained, roots, tmp_path):
+    """NONSTOP adaptation on the shifted domain must reduce the adaptation
+    EPE relative to pre-adaptation (the core claim of the method)."""
+    from adaptive_stereo_tpu.engine import adapt
+
+    variables, _ = pretrained
+    train_root, novel_root = roots
+    cfg = _cfg(train_root, str(tmp_path), "adapt_nonstop",
+               adapt_mode="NONSTOP", num_steps=20, eval_hz=20,
+               ovs_validate_hz=1000, skip_initial_eval=False,
+               train_dataset_path=train_root, train_dataset_name="Synthetic",
+               train_split="synth")
+    cfg.data.dataset_path = novel_root
+    cfg.data.batch_size = 1
+    cfg.optim.learning_rate = 3e-4
+
+    result = adapt(cfg, variables=variables)
+    assert result["gradient_updates"] == 20
+    assert result["final_state"] == "IN_PROGRESS"
+
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(str(tmp_path), "adapt_nonstop", "trials.csv"))
+    pre = df[df["step"] == -1].iloc[0]
+    post = df[df["step"] == 20].iloc[0]
+    assert post["EPE_ADAPT"] < pre["EPE_ADAPT"], (pre["EPE_ADAPT"], post["EPE_ADAPT"])
+
+
+def test_adapt_vs_er_state_machine_and_gating(pretrained, roots, tmp_path):
+    """VS+ER with an always-novel threshold: frames get diverted to the OVS
+    (skipped updates), validation transitions run, replay loss is active."""
+    from adaptive_stereo_tpu.engine import adapt
+
+    variables, _ = pretrained
+    train_root, novel_root = roots
+    cfg = _cfg(train_root, str(tmp_path), "adapt_vs_er",
+               adapt_mode="VS+ER", num_steps=16, eval_hz=16,
+               ovs_buffer_size=4, ovs_validate_hz=6, val_improve_retries=2,
+               ood_threshold=1e9,  # everything is "novel"
+               train_dataset_path=train_root, train_dataset_name="Synthetic",
+               train_split="synth", skip_initial_eval=True)
+    cfg.data.dataset_path = novel_root
+    cfg.data.batch_size = 1
+
+    result = adapt(cfg, variables=variables)
+    # The first 4 frames fill the OVS (updates skipped); later reservoir adds
+    # skip more. Gradient updates must be strictly fewer than steps.
+    assert 0 < result["gradient_updates"] < 16
+    assert result["steps"] == 16
+
+
+def test_adapt_mode_none_never_updates(pretrained, roots, tmp_path):
+    from adaptive_stereo_tpu.engine import adapt
+
+    variables, _ = pretrained
+    train_root, novel_root = roots
+    cfg = _cfg(train_root, str(tmp_path), "adapt_none",
+               adapt_mode="NONE", num_steps=6, eval_hz=0,
+               train_dataset_path=train_root, train_dataset_name="Synthetic",
+               train_split="synth", skip_initial_eval=True)
+    cfg.data.dataset_path = novel_root
+    cfg.data.batch_size = 1
+
+    result = adapt(cfg, variables=variables)
+    assert result["gradient_updates"] == 0
+    assert result["final_state"] == "DONE"
