@@ -1,0 +1,193 @@
+"""Command-line interface mirroring the reference's TrainOptions flag surface
+(reference train.py:246-301), shared by train and adapt:
+
+    python -m adaptive_stereo_tpu.cli train --dataset_path ... --split ...
+    python -m adaptive_stereo_tpu.cli adapt --adapt_mode VS+ER ...
+    python -m adaptive_stereo_tpu.cli evaluate --mode playback ...
+    python -m adaptive_stereo_tpu.cli timing
+
+Flag names match the reference so experiment scripts port over by changing
+only the program name.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .engine.config import (
+    AdaptConfig,
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    OptimConfig,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native adaptive stereo")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add_common(sp):
+        sp.add_argument("--height", type=int, default=320)
+        sp.add_argument("--width", type=int, default=960)
+        sp.add_argument("--model_name", type=str, default="experiment")
+        sp.add_argument("--stereonet_input_scale", type=int, default=0)
+        sp.add_argument("--stereonet_k", type=int, default=3, choices=[3, 4])
+        sp.add_argument("--dataset_path", type=str, default="")
+        sp.add_argument("--dataset_name", type=str, default="SceneFlowDriving")
+        sp.add_argument("--split", type=str, default="")
+        sp.add_argument("--batch_size", type=int, default=2)
+        sp.add_argument("--do_hflip", action="store_true", default=False)
+        sp.add_argument("--no_shuffle", action="store_true", default=False)
+        sp.add_argument("--log_dir", type=str, default="training_logs")
+        sp.add_argument("--load_weights_folder", default=None, type=str)
+        sp.add_argument("--scheduler_step_size", default=5, type=int)
+        sp.add_argument("--num_workers", type=int, default=4)
+        sp.add_argument("--num_epochs", type=int, default=100)
+        sp.add_argument("--log_frequency", type=int, default=250)
+        sp.add_argument("--save_freq", type=int, default=1)
+        sp.add_argument("--fast_eval", action="store_true", default=False)
+        sp.add_argument("--learning_rate", default=1e-5, type=float)
+        sp.add_argument("--clip_grad_norm", action="store_true", default=False)
+        sp.add_argument("--compute_dtype", default="float32",
+                        choices=["float32", "bfloat16"])
+        sp.add_argument("--splits_root", default=None, type=str)
+        # Adaptation options (accepted by both, used by adapt).
+        sp.add_argument("--leftright_consistency", action="store_true", default=False)
+        sp.add_argument("--smoothness_weight", type=float, default=1e-3)
+        sp.add_argument("--consistency_weight", type=float, default=1e-3)
+        sp.add_argument("--num_steps", type=int, default=-1)
+        sp.add_argument("--ovs_buffer_size", type=int, default=10)
+        sp.add_argument("--skip_initial_eval", action="store_true")
+        sp.add_argument("--ovs_validate_hz", type=int, default=100)
+        sp.add_argument("--adapt_mode", default="VS+ER",
+                        choices=["NONSTOP", "VS", "ER", "VS+ER", "NONE"])
+        sp.add_argument("--val_improve_retries", type=int, default=1)
+        sp.add_argument("--eval_hz", type=int, default=1000)
+        sp.add_argument("--er_loss_weight", type=float, default=0.05)
+        sp.add_argument("--train_dataset_path", type=str, default="")
+        sp.add_argument("--train_dataset_name", type=str, default="")
+        sp.add_argument("--train_split", type=str, default="")
+        sp.add_argument("--ood_threshold", type=float, default=15.0)
+        sp.add_argument("--fcs_ema_weight", type=float, default=0.999)
+
+    add_common(sub.add_parser("train", help="supervised training"))
+    add_common(sub.add_parser("adapt", help="online adaptation"))
+
+    ev = sub.add_parser("evaluate", help="offline inference tooling")
+    add_common(ev)
+    ev.add_argument("--mode", choices=["save", "playback", "video"], default="playback")
+    ev.add_argument("--output_folder", type=str, default="eval_output")
+    ev.add_argument("--limit", type=int, default=None)
+    ev.add_argument("--subsplit", type=str, default="val")
+
+    tm = sub.add_parser("timing", help="StereoNet timing benchmark")
+    tm.add_argument("--iterations", type=int, default=100)
+    tm.add_argument("--height", type=int, default=320)
+    tm.add_argument("--width", type=int, default=1216)
+    tm.add_argument("--stereonet_k", type=int, default=4)
+    tm.add_argument("--compute_dtype", default="bfloat16")
+    return p
+
+
+def options_to_config(opt) -> ExperimentConfig:
+    return ExperimentConfig(
+        model_name=opt.model_name,
+        log_dir=opt.log_dir,
+        load_weights_folder=opt.load_weights_folder,
+        num_epochs=opt.num_epochs,
+        log_frequency=opt.log_frequency,
+        save_freq=opt.save_freq,
+        fast_eval=opt.fast_eval,
+        model=ModelConfig(k=opt.stereonet_k, input_scale=opt.stereonet_input_scale,
+                          compute_dtype=opt.compute_dtype),
+        optim=OptimConfig(learning_rate=opt.learning_rate,
+                          scheduler_step_size=opt.scheduler_step_size,
+                          clip_grad_norm=opt.clip_grad_norm),
+        data=DataConfig(dataset_path=opt.dataset_path, dataset_name=opt.dataset_name,
+                        split=opt.split, height=opt.height, width=opt.width,
+                        batch_size=opt.batch_size, do_hflip=opt.do_hflip,
+                        no_shuffle=opt.no_shuffle, num_workers=opt.num_workers),
+        adapt=AdaptConfig(adapt_mode=opt.adapt_mode, num_steps=opt.num_steps,
+                          ovs_buffer_size=opt.ovs_buffer_size,
+                          ovs_validate_hz=opt.ovs_validate_hz,
+                          val_improve_retries=opt.val_improve_retries,
+                          eval_hz=opt.eval_hz, er_loss_weight=opt.er_loss_weight,
+                          ood_threshold=opt.ood_threshold,
+                          fcs_ema_weight=opt.fcs_ema_weight,
+                          smoothness_weight=opt.smoothness_weight,
+                          consistency_weight=opt.consistency_weight,
+                          leftright_consistency=opt.leftright_consistency,
+                          skip_initial_eval=opt.skip_initial_eval,
+                          train_dataset_path=opt.train_dataset_path,
+                          train_dataset_name=opt.train_dataset_name,
+                          train_split=opt.train_split),
+    )
+
+
+def main(argv=None) -> int:
+    opt = build_parser().parse_args(argv)
+
+    if opt.command == "timing":
+        from .analysis.timing import time_stereonet
+
+        r = time_stereonet(n=opt.iterations, height=opt.height, width=opt.width,
+                           k=opt.stereonet_k, compute_dtype=opt.compute_dtype)
+        print("-" * 67)
+        print("-- Timing (inference only): %f sec (%f hz)"
+              % (r["inference_sec"], r["inference_hz"]))
+        print("-- Timing (inference + backprop): %f sec (%f hz)"
+              % (r["backprop_sec"], r["backprop_hz"]))
+        print("-" * 67)
+        return 0
+
+    cfg = options_to_config(opt)
+
+    if opt.command == "train":
+        from .engine.train import train
+
+        train(cfg, splits_root=opt.splits_root)
+        print("Done with training!")
+        return 0
+
+    if opt.command == "adapt":
+        from .engine.adapt import adapt
+
+        print("\nStarting adaptation ...")
+        adapt(cfg, splits_root=opt.splits_root)
+        print("Done with adaptation!")
+        return 0
+
+    if opt.command == "evaluate":
+        import jax.numpy as jnp
+
+        from .data import StereoDataset
+        from .engine.checkpoint import load_variables
+        from .engine.inference_tools import playback, render_video_frames, save_disparities
+        from .models import StereoModel
+
+        s = cfg.model.input_scale
+        model = StereoModel(k=cfg.model.k, input_scale=s,
+                            dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None)
+        variables = load_variables(cfg.load_weights_folder)
+        dataset = StereoDataset(cfg.data.dataset_path, cfg.data.dataset_name,
+                                cfg.data.split, cfg.data.height, cfg.data.width,
+                                opt.subsplit, scales=[s],
+                                load_disp_right=False, splits_root=opt.splits_root)
+        if opt.mode == "save":
+            n = save_disparities(model, variables, dataset, opt.output_folder, s, opt.limit)
+            print(f"Saved {n} disparity maps to {opt.output_folder}")
+        elif opt.mode == "playback":
+            r = playback(model, variables, dataset, opt.output_folder, s, opt.limit)
+            print(f"Playback done: mean EPE={r['EPE']:.3f} over {r['count']} images")
+        else:
+            n = render_video_frames(model, variables, dataset, opt.output_folder, s, opt.limit)
+            print(f"Rendered {n} frames to {opt.output_folder}")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

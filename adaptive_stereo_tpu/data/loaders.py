@@ -17,9 +17,17 @@ import numpy as np
 
 
 def load_disp_sceneflow(path: str) -> np.ndarray:
-    from .io import read_pfm
+    try:
+        from . import native
 
-    data, _scale = read_pfm(path)
+        if native.available():
+            data, _ = native.pfm_read_native(path)
+        else:
+            raise RuntimeError
+    except Exception:
+        from .io import read_pfm
+
+        data, _scale = read_pfm(path)
     if data.ndim == 3:
         data = data[..., 0]
     return data.astype(np.float32)[..., None]

@@ -9,6 +9,8 @@ from .steps import (
     make_infer_step,
     make_apply_updates,
     make_ovs_validate_step,
+    make_fused_adapt_step,
+    init_fcs_ema,
 )
 from .evaluate import evaluate
 from .checkpoint import save_checkpoint, load_checkpoint, load_variables

@@ -41,9 +41,9 @@ from .config import ExperimentConfig
 from .evaluate import evaluate
 from .state import create_train_state
 from .steps import (
-    make_adapt_forward_backward,
-    make_apply_updates,
+    init_fcs_ema,
     make_eval_step,
+    make_fused_adapt_step,
     make_infer_step,
     make_ovs_validate_step,
 )
@@ -77,6 +77,17 @@ class StateMachine:
             self.ovs_did_change = True
         # A novel frame arriving while DONE restarts adaptation — even if the
         # reservoir declined to store it (reference adapt.py:111-114).
+        if self.current_state == State.DONE:
+            self.restart()
+        return did_add
+
+    def commit_novel(self, pre, left_img, right_img, loss: float, batch_idx: int) -> bool:
+        """Fused-step variant of add_to_ovs: applies a pre-drawn reservoir
+        decision for a frame the device gate flagged as novel."""
+        did_add = self.ovs.commit(pre, left_img, right_img, float(loss), batch_idx)
+        if did_add:
+            print(f"[ OVS ] ADDED a new pair to the OVS (INDEX={batch_idx} LOSS={loss})")
+            self.ovs_did_change = True
         if self.current_state == State.DONE:
             self.restart()
         return did_add
@@ -199,11 +210,12 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
     use_er = ac.adapt_mode in ("ER", "VS+ER")
     use_vs = ac.adapt_mode not in ("NONSTOP", "ER", "NONE")
 
-    fwd_bwd = make_adapt_forward_backward(
+    fused_step = make_fused_adapt_step(
         model, s, k, smoothness_weight=ac.smoothness_weight,
-        er_loss_weight=ac.er_loss_weight, use_er=use_er,
+        er_loss_weight=ac.er_loss_weight, use_er=use_er, use_vs=use_vs,
+        ood_threshold=ac.ood_threshold, fcs_ema_weight=ac.fcs_ema_weight,
+        clip_grad_norm=oc.clip_grad_norm,
     )
-    apply_up = make_apply_updates(clip_grad_norm=oc.clip_grad_norm)
     infer = make_infer_step(model, s, k, smoothness_weight=ac.smoothness_weight)
     eval_step = make_eval_step(model, s, k)
     validate_fn = make_ovs_validate_step(model, s, smoothness_weight=ac.smoothness_weight)
@@ -236,7 +248,8 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
         return {key: jax.device_put(jnp.asarray(v)[None]) for key, v in it.items()}
 
     epoch, step, gradient_updates = 0, 0, 0
-    fcs_smoothed = None
+    fcs_smoothed = None           # host mirror of the device EMA
+    ema = init_fcs_ema()          # device-side EMA for the fused step
     final_metrics: Dict = {}
     t_start = time.time()
 
@@ -257,44 +270,53 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
             in_progress = sm.state() == State.IN_PROGRESS
 
             if in_progress:
+                # ONE dispatch: fwd+bwd+FCS+OOD gate+masked Adam. The
+                # reservoir decision is pre-drawn (FCS-independent); the
+                # device gate applies it only if the frame is novel.
+                pre = sm.ovs.pre_decide(batch_idx) if use_vs else None
                 er_batch = er_item(step) if use_er else batch
-                grads, new_stats, aux = fwd_bwd(
-                    state.params, state.batch_stats, batch, er_batch)
+                state, ema, aux = fused_step(
+                    state, ema, batch, er_batch,
+                    jnp.asarray(pre.add if pre else False),
+                )
+                fcs_raw = float(aux["fcs_raw"])
+                fcs_smoothed = float(aux["fcs_smoothed"])
+                image_is_novel = bool(aux["novel"])
+                did_add_to_ovs = False
+                if use_vs and image_is_novel:
+                    print(f"[ OOD ] Novel image detected! fcs_raw={fcs_raw:.3f} "
+                          f"fcs_smoothed={fcs_smoothed:.3f} threshold={ac.ood_threshold:.3f}")
+                    did_add_to_ovs = sm.commit_novel(
+                        pre, batch[f"color_l/{s}"], batch[f"color_r/{s}"],
+                        float(aux["Monodepth/total_loss"]), batch_idx)
+                if did_add_to_ovs:
+                    print("[ ADAPT ] Skipping gradient update because image was added to OVS.")
+                else:
+                    gradient_updates += 1
             else:
                 aux, _pred = infer(state.params, state.batch_stats, batch)
-                grads, new_stats = None, None
+                fcs_raw = float(aux["fcs_raw"])
+                fcs_smoothed = fcs_raw if fcs_smoothed is None else online_ema(
+                    fcs_smoothed, fcs_raw, ac.fcs_ema_weight)
+                # Keep the device EMA consistent for a possible restart.
+                ema = (jnp.asarray(fcs_smoothed, jnp.float32), jnp.ones((), bool))
+                image_is_novel = fcs_smoothed < ac.ood_threshold
+                if use_vs and image_is_novel:
+                    print(f"[ OOD ] Novel image detected! fcs_raw={fcs_raw:.3f} "
+                          f"fcs_smoothed={fcs_smoothed:.3f} threshold={ac.ood_threshold:.3f}")
+                    # DONE state: classic add path (restarts adaptation).
+                    sm.add_to_ovs(batch[f"color_l/{s}"], batch[f"color_r/{s}"],
+                                  float(aux["Monodepth/total_loss"]), batch_idx)
 
-            # --- FCS smoothing + OOD gate (host; needs this step's scalar) ---
-            fcs_raw = float(aux["fcs_raw"])
-            fcs_smoothed = fcs_raw if fcs_smoothed is None else online_ema(
-                fcs_smoothed, fcs_raw, ac.fcs_ema_weight)
             adapt_writer.add_scalar("fcs/raw", fcs_raw, step)
             adapt_writer.add_scalar("fcs/smoothed", fcs_smoothed, step)
-            image_is_novel = fcs_smoothed < ac.ood_threshold
-
-            did_add_to_ovs = False
-            if use_vs and image_is_novel:
-                print(f"[ OOD ] Novel image detected! fcs_raw={fcs_raw:.3f} "
-                      f"fcs_smoothed={fcs_smoothed:.3f} threshold={ac.ood_threshold:.3f}")
-                did_add_to_ovs = sm.add_to_ovs(
-                    batch[f"color_l/{s}"], batch[f"color_r/{s}"],
-                    float(aux["Monodepth/total_loss"]), batch_idx)
-
-            if in_progress:
-                do_update = not did_add_to_ovs
-                state = apply_up(state, grads, new_stats, jnp.asarray(do_update))
-                if do_update:
-                    gradient_updates += 1
-                else:
-                    print("[ ADAPT ] Skipping gradient update because image was added to OVS.")
 
             elapsed = time.time() - t0
             if (step % cfg.log_frequency) == 0 and step > 0:
                 metrics = {}
                 if "EPE" in aux:
                     metrics["EPE"] = float(aux["EPE"])
-                losses = {n: float(v) for n, v in aux.items()
-                          if n not in ("fcs_raw", "EPE")}
+                losses = {n: float(v) for n, v in aux.items() if "loss" in n}
                 adapt_writer.log_scalars(metrics, losses,
                                          dc.batch_size / max(elapsed, 1e-9), epoch, step)
 

@@ -60,8 +60,12 @@ def create_train_state(
     """
     if variables is None:
         variables = model.init(rng, sample_left, sample_right, train=False)
-    params = jax.tree.map(jnp.asarray, variables["params"])
-    batch_stats = jax.tree.map(jnp.asarray, variables.get("batch_stats", {}))
+    # COPY (not adopt) caller-provided arrays: the fused adapt step donates
+    # state buffers, and donating a caller's arrays would delete them.
+    params = jax.tree.map(lambda v: jnp.array(v, copy=True), variables["params"])
+    batch_stats = jax.tree.map(
+        lambda v: jnp.array(v, copy=True), variables.get("batch_stats", {})
+    )
     tx = make_optimizer(learning_rate)
     opt_state = tx.init(params)
     return TrainState(

@@ -253,6 +253,133 @@ def make_apply_updates(clip_grad_norm: bool):
     return apply
 
 
+def make_fused_adapt_step(
+    model,
+    input_scale: int,
+    k: int,
+    smoothness_weight: float = 1e-3,
+    er_loss_weight: float = 0.05,
+    use_er: bool = False,
+    use_vs: bool = False,
+    ood_threshold: float = 15.0,
+    fcs_ema_weight: float = 0.999,
+    clip_grad_norm: bool = False,
+):
+    """The WHOLE adaptation step as ONE XLA program: forward + Monodepth loss
+    + FCS + replay + backward + OOD gate + masked Adam update.
+
+    Dispatch-bound profiling on the TPU tunnel showed a separate apply call
+    costs ~4 ms of pure overhead; fusing removes it. To make the update mask
+    computable on device, the FCS EMA lives on device ((value, initialized)
+    scalars) and the reservoir's accept/reject decision — which depends only
+    on stream state, never on this frame's FCS — is pre-drawn on the host and
+    passed in as `would_add_if_novel`:
+
+        novel     = smoothed_fcs < ood_threshold          (VS modes only)
+        did_add   = novel & would_add_if_novel
+        do_update = ~did_add
+
+    The host commits the reservoir mutation after reading back `did_add`
+    (one scalar sync per step, overlapped with device compute). This
+    executable serves the IN_PROGRESS state; DONE uses make_infer_step.
+
+    Returns step(state, ema, batch, er_batch, would_add_if_novel)
+      -> (new_state, new_ema, aux) where ema = (value, initialized) and aux
+      holds fcs_raw/fcs_smoothed/novel/did_add/losses/EPE scalars.
+    """
+    coarse = input_scale + k
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, ema, batch, er_batch, would_add_if_novel):
+        left = batch[f"color_l/{input_scale}"]
+        right = batch[f"color_r/{input_scale}"]
+
+        def loss_fn(p):
+            outputs, mut = model.apply(
+                {"params": p, "batch_stats": state.batch_stats},
+                left, right, side="l", output_cost_volume=True, train=True,
+                mutable=["batch_stats"],
+            )
+            stats = mut["batch_stats"]
+            mono_loss, _ = monodepth_single_loss(
+                left, right, outputs[f"pred_disp_l/{input_scale}"], smoothness_weight
+            )
+            losses = {"Monodepth/total_loss": mono_loss}
+            total = mono_loss
+            if use_er:
+                er_outputs, mut2 = model.apply(
+                    {"params": p, "batch_stats": stats},
+                    er_batch[f"color_l/{input_scale}"],
+                    er_batch[f"color_r/{input_scale}"],
+                    side="l", output_cost_volume=False, train=True,
+                    mutable=["batch_stats"],
+                )
+                stats = mut2["batch_stats"]
+                replay = khamis_robust_loss(
+                    er_outputs[f"pred_disp_l/{input_scale}"],
+                    er_batch[f"gt_disp_l/{input_scale}"],
+                )
+                losses["Replay/total_loss"] = replay
+                total = total + er_loss_weight * replay
+            fcs_raw = jnp.mean(feature_contrast_mean(outputs[f"cost_volume_l/{coarse}"]))
+            pred = outputs[f"pred_disp_l/{input_scale}"]
+            return total, (losses, stats, fcs_raw, pred)
+
+        (_, (losses, new_stats, fcs_raw, pred)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        # --- device-side FCS EMA + OOD gate ---
+        ema_value, ema_init = ema
+        smoothed = jnp.where(
+            ema_init,
+            ema_value * fcs_ema_weight + (1.0 - fcs_ema_weight) * fcs_raw,
+            fcs_raw,
+        )
+        new_ema = (smoothed, jnp.ones((), bool))
+        if use_vs:
+            novel = smoothed < ood_threshold
+            did_add = jnp.logical_and(novel, would_add_if_novel)
+        else:
+            novel = jnp.zeros((), bool)
+            did_add = jnp.zeros((), bool)
+        do_update = jnp.logical_not(did_add)
+
+        # --- masked Adam update (same executable) ---
+        if clip_grad_norm:
+            grads = clip_stereo_net_grads(grads)
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        def select(new, old):
+            return jax.tree.map(lambda n, o: jnp.where(do_update, n, o), new, old)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=select(new_params, state.params),
+            opt_state=select(new_opt_state, state.opt_state),
+            batch_stats=new_stats,
+        )
+
+        aux = {n: v for n, v in losses.items()}
+        aux["fcs_raw"] = fcs_raw
+        aux["fcs_smoothed"] = smoothed
+        aux["novel"] = novel
+        aux["did_add"] = did_add
+        aux["do_update"] = do_update
+        gt_key = f"gt_disp_l/{input_scale}"
+        if gt_key in batch:
+            aux["EPE"] = _epe(pred, batch[gt_key])
+        return new_state, new_ema, aux
+
+    return step
+
+
+def init_fcs_ema():
+    """Fresh device-side FCS EMA state for make_fused_adapt_step."""
+    return (jnp.zeros(()), jnp.zeros((), bool))
+
+
 def make_ovs_validate_step(model, input_scale: int, smoothness_weight: float = 1e-3):
     """Recompute the Monodepth loss for every OVS pair in ONE batched
     eval-mode forward (the reference loops per-image, adapt.py:122-142).

@@ -45,9 +45,17 @@ def depth_to_pointcloud(depth: np.ndarray, k_mat: np.ndarray,
 def voxel_downsample(points: np.ndarray, voxel_size: float,
                      colors: Optional[np.ndarray] = None):
     """Average points (and colors) within each voxel (replaces
-    open3d.geometry.voxel_down_sample, reference :184)."""
+    open3d.geometry.voxel_down_sample, reference :184). Uses the native C++
+    hash-grid when built (native/stereo_native.cpp)."""
     if len(points) == 0:
         return points, colors
+    try:
+        from ..data import native
+
+        if native.available():
+            return native.voxel_downsample_native(points, voxel_size, colors)
+    except Exception:
+        pass
     keys = np.floor(points / voxel_size).astype(np.int64)
     # Hash voxel coords to group.
     _, inverse, counts = np.unique(keys, axis=0, return_inverse=True, return_counts=True)

@@ -12,7 +12,19 @@ random to 123, adapt.py:28); per-stream instances get per-stream seeds.
 from __future__ import annotations
 
 import random
+from dataclasses import dataclass
 from typing import Any, List, Optional, Set
+
+
+@dataclass
+class PreDecision:
+    """A reservoir decision drawn BEFORE knowing whether the frame is novel —
+    possible because Algorithm R's accept/reject depends only on stream state
+    (count, fill, index dedup), never on the frame's score. Used by the fused
+    adaptation step, whose on-device OOD gate needs `add` ahead of time."""
+
+    add: bool
+    slot: int  # -1 = append; >=0 = replacement index
 
 
 class StereoReservoir:
@@ -42,6 +54,36 @@ class StereoReservoir:
             self.buf[j - 1] = [value, img_index, img_l, img_r]
             return True
         return False
+
+    def pre_decide(self, img_index: int) -> PreDecision:
+        """Peek at what add() would do for this index, WITHOUT mutating
+        buffer state. Consumes one RNG draw when the buffer is full — even if
+        the frame later turns out non-novel and commit() is never applied.
+        (The reference draws only on novel-and-full frames; the streams are
+        distributionally identical since draws are independent. Documented
+        divergence enabling the single-dispatch fused step.)"""
+        if img_index in self.indices:
+            return PreDecision(add=False, slot=-1)
+        if len(self.buf) < self.max_size:
+            return PreDecision(add=True, slot=-1)
+        j = self._rng.randint(1, self.i + 1)
+        if j <= self.max_size:
+            return PreDecision(add=True, slot=j - 1)
+        return PreDecision(add=False, slot=-1)
+
+    def commit(self, pre: PreDecision, img_l: Any, img_r: Any, value: float,
+               img_index: int) -> bool:
+        """Apply a pre-drawn decision for a frame that WAS novel. Mirrors
+        add()'s mutations (including the no-dedup-update-on-replace quirk)."""
+        self.i += 1
+        if not pre.add:
+            return False
+        if pre.slot < 0:
+            self.buf.append([value, img_index, img_l, img_r])
+            self.indices.add(img_index)
+        else:
+            self.buf[pre.slot] = [value, img_index, img_l, img_r]
+        return True
 
     def update_value(self, buf_index: int, new_value: float) -> None:
         self.buf[buf_index][0] = new_value

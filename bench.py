@@ -45,11 +45,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from adaptive_stereo_tpu.engine import (
-        create_train_state,
-        make_adapt_forward_backward,
-        make_apply_updates,
-    )
+    from adaptive_stereo_tpu.engine import create_train_state
     from adaptive_stereo_tpu.models import StereoModel
 
     k, s, h, w = 4, 0, 320, 960
@@ -66,16 +62,32 @@ def main():
 
     state = create_train_state(model, jax.random.PRNGKey(0), left, right, 5e-5)
 
-    fwd_bwd = make_adapt_forward_backward(model, s, k, use_er=True)
-    apply_up = make_apply_updates(clip_grad_norm=True)
+    from adaptive_stereo_tpu.engine import init_fcs_ema, make_fused_adapt_step
 
-    def full_adapt_step(state, batch, er_batch):
-        grads, stats, aux = fwd_bwd(state.params, state.batch_stats, batch, er_batch)
-        new_state = apply_up(state, grads, stats, jnp.asarray(True))
-        return new_state, aux["fcs_raw"]
+    fused = make_fused_adapt_step(
+        model, s, k, use_er=True, use_vs=True,
+        ood_threshold=12.76, clip_grad_norm=True,
+    )
 
-    # --- fused adapt step (headline) ---
-    t_adapt = _time_fn(lambda: full_adapt_step(state, batch, er_batch))
+    # --- fused adapt step (headline): the state chains through like the real
+    # stream loop (donated buffers), including the per-step scalar readback
+    # the OOD gate implies. ---
+    bench_state = create_train_state(model, jax.random.PRNGKey(0), left, right, 5e-5)
+    ema = init_fcs_ema()
+    would = jnp.asarray(False)
+
+    def chained_step():
+        nonlocal bench_state, ema
+        bench_state, ema, aux = fused(bench_state, ema, batch, er_batch, would)
+        return float(aux["fcs_raw"])  # host sync, as in the real loop
+
+    for _ in range(3):
+        chained_step()
+    t0 = time.perf_counter()
+    iters = 50
+    for _ in range(iters):
+        chained_step()
+    t_adapt = (time.perf_counter() - t0) / iters
     adapt_fps = 1.0 / t_adapt
 
     # --- forward-only (serving) fps, bf16 and f32 ---
