@@ -16,3 +16,5 @@ from .evaluate import evaluate
 from .checkpoint import save_checkpoint, load_checkpoint, load_variables
 from .train import train
 from .adapt import adapt, State, StateMachine
+from .stream_adapt import make_streaming_steps, init_stream_state, StreamAdaptState
+from .stream_driver import adapt_streaming

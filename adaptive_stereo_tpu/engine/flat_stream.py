@@ -1,0 +1,273 @@
+"""Flat-state streaming adaptation — minimal-dispatch-payload engine.
+
+Measurement on the remote-dispatch TPU environment: a jitted call's overhead
+scales with the NUMBER of argument/result buffers (~0.3 ms each); the fused
+pytree step carries ~400 leaves -> ~115 ms/dispatch, dwarfing the ~2 ms of
+actual compute. This engine collapses ALL state into a handful of flat f32
+vectors:
+
+    theta (P,)  — all parameters, [feature_net | stereo_net] order
+    m, v  (P,)  — Adam moments (masked updates preserve skip semantics)
+    bn    (B,)  — BatchNorm running stats
+    + scalars (count, ema, log ring, reservoir buffers)
+
+Inside the program the vectors are unraveled to pytrees (pure on-device
+reshapes/slices, fused by XLA); Adam runs directly on the flat vectors —
+torch-parity math (bias correction, eps outside sqrt) with the
+stereo-net-only gradient clip expressed as an index-range mask.
+
+Semantics are identical to engine/stream_adapt.py (same device reservoir,
+OOD gate, ring log); parity is asserted in tests against the pytree engines.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.flatten_util import ravel_pytree
+
+from ..ops import feature_contrast_mean, khamis_robust_loss, monodepth_single_loss
+from .device_reservoir import (
+    DeviceReservoir,
+    init_device_reservoir,
+    reservoir_average_value,
+    reservoir_maybe_add,
+    reservoir_set_values,
+)
+from .steps import _epe
+from .stream_adapt import LOG_COLS
+
+ADAM_B1, ADAM_B2, ADAM_EPS = 0.9, 0.999, 1e-8
+
+
+@struct.dataclass
+class FlatStreamState:
+    theta: jnp.ndarray       # (P,) parameters
+    m: jnp.ndarray           # (P,) Adam first moment
+    v: jnp.ndarray           # (P,) Adam second moment
+    count: jnp.ndarray       # () int32 Adam step count (applied updates)
+    lr: jnp.ndarray          # () f32 learning rate (host-settable)
+    bn: jnp.ndarray          # (B,) BatchNorm running stats
+    ema_value: jnp.ndarray   # () f32 FCS EMA
+    ema_init: jnp.ndarray    # () bool
+    reservoir: DeviceReservoir
+    log: jnp.ndarray         # (chunk, len(LOG_COLS))
+    log_pos: jnp.ndarray     # () int32
+
+
+class FlatSpec(NamedTuple):
+    unravel_params: callable
+    unravel_bn: callable
+    n_params: int
+    n_feature: int           # params [0, n_feature) = feature_net
+
+
+def make_flat_spec(params, batch_stats) -> FlatSpec:
+    flat, unravel_params = ravel_pytree(params)
+    feat_flat, _ = ravel_pytree(params["feature_net"])
+    bn_flat, unravel_bn = ravel_pytree(batch_stats)
+    return FlatSpec(unravel_params, unravel_bn, flat.shape[0], feat_flat.shape[0])
+
+
+def init_flat_stream_state(params, batch_stats, learning_rate: float,
+                           capacity: int, h: int, w: int, log_chunk: int,
+                           seed: int = 123) -> Tuple[FlatStreamState, FlatSpec]:
+    spec = make_flat_spec(params, batch_stats)
+    theta, _ = ravel_pytree(params)
+    bn, _ = ravel_pytree(batch_stats)
+    return FlatStreamState(
+        theta=theta,
+        m=jnp.zeros_like(theta),
+        v=jnp.zeros_like(theta),
+        count=jnp.zeros((), jnp.int32),
+        lr=jnp.asarray(learning_rate, jnp.float32),
+        bn=bn,
+        ema_value=jnp.zeros(()),
+        ema_init=jnp.zeros((), bool),
+        reservoir=init_device_reservoir(capacity, h, w, 3, seed),
+        log=jnp.zeros((log_chunk, len(LOG_COLS)), jnp.float32),
+        log_pos=jnp.zeros((), jnp.int32),
+    ), spec
+
+
+def flat_state_to_variables(ss: FlatStreamState, spec: FlatSpec) -> dict:
+    return {"params": spec.unravel_params(ss.theta),
+            "batch_stats": spec.unravel_bn(ss.bn)}
+
+
+def make_flat_streaming_steps(
+    model,
+    spec: FlatSpec,
+    input_scale: int,
+    k: int,
+    smoothness_weight: float = 1e-3,
+    er_loss_weight: float = 0.05,
+    use_er: bool = False,
+    use_vs: bool = False,
+    ood_threshold: float = 15.0,
+    fcs_ema_weight: float = 0.999,
+    clip_grad_norm: bool = False,
+    images_uint8: bool = False,
+):
+    """Returns (adapt_step, done_step, validate_step) over FlatStreamState.
+
+    adapt_step(ss, left, right, gt, er_left, er_right, er_gt, frame_idx)
+      — all image args are single (1,H,W,3)/(1,H,W,1) buffers (7 leaves
+      total), uint8-transferable with images_uint8=True.
+    """
+    coarse = input_scale + k
+    s = input_scale
+
+    def dec(img):
+        if images_uint8:
+            return img.astype(jnp.float32) / 255.0
+        return img
+
+    # Stereo-net-only clip mask over the flat gradient (torch semantics:
+    # scale = 1/(norm+1e-6) when norm > 1; reference train.py:220-222).
+    stereo_slice = slice(spec.n_feature, spec.n_params)
+
+    def clip_flat(g):
+        if not clip_grad_norm:
+            return g
+        gs = g[stereo_slice]
+        norm = jnp.sqrt(jnp.sum(gs * gs))
+        scale = jnp.minimum(1.0 / (norm + 1e-6), 1.0)
+        return g.at[stereo_slice].multiply(scale)
+
+    def adam_masked(ss, g, do_update):
+        new_count = ss.count + 1
+        m = ADAM_B1 * ss.m + (1 - ADAM_B1) * g
+        v = ADAM_B2 * ss.v + (1 - ADAM_B2) * g * g
+        c = new_count.astype(jnp.float32)
+        mhat = m / (1 - ADAM_B1 ** c)
+        vhat = v / (1 - ADAM_B2 ** c)
+        theta = ss.theta - ss.lr * mhat / (jnp.sqrt(vhat) + ADAM_EPS)
+        keep = jnp.logical_not(do_update)
+        return (
+            jnp.where(keep, ss.theta, theta),
+            jnp.where(keep, ss.m, m),
+            jnp.where(keep, ss.v, v),
+            jnp.where(keep, ss.count, new_count),
+        )
+
+    def write_log(log, pos, row):
+        chunk = log.shape[0]
+        return jax.lax.dynamic_update_index_in_dim(log, row, pos % chunk, 0), pos + 1
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def adapt_step(ss: FlatStreamState, left_u, right_u, gt, er_left_u,
+                   er_right_u, er_gt, frame_idx):
+        left, right = dec(left_u), dec(right_u)
+
+        def loss_fn(theta):
+            params = spec.unravel_params(theta)
+            stats = spec.unravel_bn(ss.bn)
+            outputs, mut = model.apply(
+                {"params": params, "batch_stats": stats},
+                left, right, side="l", output_cost_volume=True, train=True,
+                mutable=["batch_stats"],
+            )
+            stats = mut["batch_stats"]
+            mono, _ = monodepth_single_loss(
+                left, right, outputs[f"pred_disp_l/{s}"], smoothness_weight)
+            total = mono
+            replay = jnp.zeros(())
+            if use_er:
+                er_out, mut2 = model.apply(
+                    {"params": params, "batch_stats": stats},
+                    dec(er_left_u), dec(er_right_u),
+                    side="l", output_cost_volume=False, train=True,
+                    mutable=["batch_stats"],
+                )
+                stats = mut2["batch_stats"]
+                replay = khamis_robust_loss(er_out[f"pred_disp_l/{s}"], er_gt)
+                total = total + er_loss_weight * replay
+            fcs_raw = jnp.mean(
+                feature_contrast_mean(outputs[f"cost_volume_l/{coarse}"]))
+            bn_flat, _ = ravel_pytree(stats)
+            return total, (mono, replay, bn_flat, fcs_raw,
+                           outputs[f"pred_disp_l/{s}"])
+
+        (_, (mono, replay, new_bn, fcs_raw, pred)), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(ss.theta)
+
+        epe = _epe(pred, gt)
+
+        smoothed = jnp.where(
+            ss.ema_init,
+            ss.ema_value * fcs_ema_weight + (1 - fcs_ema_weight) * fcs_raw,
+            fcs_raw)
+        novel = (smoothed < ood_threshold) if use_vs else jnp.zeros((), bool)
+        res, did_add = reservoir_maybe_add(
+            ss.reservoir, left, right, mono, frame_idx, novel)
+        do_update = jnp.logical_not(did_add)
+
+        theta, m, v, count = adam_masked(ss, clip_flat(g), do_update)
+
+        row = jnp.stack([
+            fcs_raw, smoothed, mono, replay, epe,
+            novel.astype(jnp.float32), did_add.astype(jnp.float32),
+            do_update.astype(jnp.float32)])
+        log, pos = write_log(ss.log, ss.log_pos, row)
+
+        return FlatStreamState(
+            theta=theta, m=m, v=v, count=count, lr=ss.lr, bn=new_bn,
+            ema_value=smoothed, ema_init=jnp.ones((), bool),
+            reservoir=res, log=log, log_pos=pos)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def done_step(ss: FlatStreamState, left_u, right_u, gt, frame_idx):
+        left, right = dec(left_u), dec(right_u)
+        outputs = model.apply(
+            {"params": spec.unravel_params(ss.theta),
+             "batch_stats": spec.unravel_bn(ss.bn)},
+            left, right, side="l", output_cost_volume=True, train=False)
+        pred = outputs[f"pred_disp_l/{s}"]
+        mono, _ = monodepth_single_loss(left, right, pred, smoothness_weight)
+        fcs_raw = jnp.mean(feature_contrast_mean(outputs[f"cost_volume_l/{coarse}"]))
+        epe = _epe(pred, gt)
+
+        smoothed = jnp.where(
+            ss.ema_init,
+            ss.ema_value * fcs_ema_weight + (1 - fcs_ema_weight) * fcs_raw,
+            fcs_raw)
+        novel = (smoothed < ood_threshold) if use_vs else jnp.zeros((), bool)
+        res, did_add = reservoir_maybe_add(
+            ss.reservoir, left, right, mono, frame_idx, novel)
+
+        row = jnp.stack([
+            fcs_raw, smoothed, mono, jnp.zeros(()), epe,
+            novel.astype(jnp.float32), did_add.astype(jnp.float32),
+            jnp.zeros(())])
+        log, pos = write_log(ss.log, ss.log_pos, row)
+        return ss.replace(ema_value=smoothed, ema_init=jnp.ones((), bool),
+                          reservoir=res, log=log, log_pos=pos)
+
+    @jax.jit
+    def validate_step(ss: FlatStreamState):
+        res = ss.reservoir
+        outputs = model.apply(
+            {"params": spec.unravel_params(ss.theta),
+             "batch_stats": spec.unravel_bn(ss.bn)},
+            res.left, res.right, side="l", output_cost_volume=False, train=False)
+        pred = outputs[f"pred_disp_l/{s}"]
+
+        def per_item(l, r, p):
+            loss, _ = monodepth_single_loss(l[None], r[None], p[None],
+                                            smoothness_weight)
+            return loss
+
+        losses = jax.vmap(per_item)(res.left, res.right, pred)
+        cap = losses.shape[0]
+        mask = jnp.arange(cap) < res.size
+        new_res = reservoir_set_values(res, jnp.where(mask, losses, res.values))
+        ss = ss.replace(reservoir=new_res)
+        return ss, reservoir_average_value(new_res), new_res.size
+
+    return adapt_step, done_step, validate_step

@@ -1,0 +1,291 @@
+"""Driver for the zero-sync streaming adaptation engine (stream_adapt.py).
+
+Same protocol and outputs as engine/adapt.py (state machine modes, trials.csv,
+checkpoints, TensorBoard series) but with host<->device synchronization only
+at boundaries:
+  - ring-log drain (one readback) at every log/validation/eval boundary;
+  - one scalar readback per OVS validation for the plateau transition.
+
+Use this engine for production throughput; engine/adapt.py remains the
+step-for-step reference-parity engine.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import BatchLoader, StereoDataset
+from ..models import StereoModel
+from ..utils.logging_utils import MetricsWriter, TrialsLog
+from .adapt import State
+from .checkpoint import load_variables, save_checkpoint
+from .config import ExperimentConfig
+from .evaluate import evaluate
+from .state import create_train_state
+from .steps import make_eval_step
+from .stream_adapt import LOG_COLS, init_stream_state, make_streaming_steps
+
+
+class _PlateauMachine:
+    """Host mirror of the DONE/IN_PROGRESS plateau logic (the heavy state —
+    EMA, reservoir — lives on device)."""
+
+    def __init__(self, initial: State, val_improve_retries: int):
+        self.state = initial
+        self.initial = initial
+        self.retries = val_improve_retries
+        self.prev_loss = float("inf")
+        self.ovs_did_change = True
+        self.iters_without_improvement = 0
+
+    def transition(self, avg_loss: float) -> State:
+        print(f"[ OVS ] VALIDATION LOSS | PREVIOUS={self.prev_loss} | UPDATED={avg_loss}")
+        if avg_loss >= self.prev_loss and not self.ovs_did_change:
+            self.iters_without_improvement += 1
+            if self.iters_without_improvement >= self.retries:
+                print("[ OVS ] Transitioned to DONE!")
+                self.state = State.DONE
+                self.prev_loss = float("inf")
+        else:
+            self.ovs_did_change = False
+            self.iters_without_improvement = 0
+            self.prev_loss = avg_loss
+        return self.state
+
+    def restart(self):
+        print("[ OVS ] RESTARTING adaptation!")
+        self.state = self.initial
+
+
+def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
+                    splits_root: Optional[str] = None,
+                    log_chunk: int = 512, engine: str = "flat") -> Dict:
+    """engine='flat' (default): minimal-dispatch-payload flat-state engine
+    (engine/flat_stream.py) — fastest on remote-dispatch TPUs.
+    engine='pytree': the structured stream engine (engine/stream_adapt.py)."""
+    mc, ac, dc, oc = cfg.model, cfg.adapt, cfg.data, cfg.optim
+    s, k = mc.input_scale, mc.k
+    log_path = os.path.join(cfg.log_dir, cfg.model_name)
+    os.makedirs(log_path, exist_ok=True)
+    with open(os.path.join(log_path, "opt.json"), "w") as f:
+        f.write(cfg.to_json() + "\n")
+
+    model = StereoModel(
+        k=k, input_scale=s, maxdisp=mc.maxdisp,
+        dtype=jnp.bfloat16 if mc.compute_dtype == "bfloat16" else None,
+    )
+    if variables is None:
+        if cfg.load_weights_folder is None:
+            raise ValueError("adapt_streaming() needs pretrained weights")
+        variables = load_variables(cfg.load_weights_folder)
+    hs, ws = dc.height // 2 ** s, dc.width // 2 ** s
+    dummy = jnp.zeros((1, hs, ws, 3), jnp.float32)
+    train_state = create_train_state(
+        model, jax.random.PRNGKey(cfg.seed), dummy, dummy,
+        learning_rate=oc.learning_rate, variables=variables)
+
+    image_scales = [s, s + k]
+    mk = dict(scales=image_scales, do_hflip=False, random_crop=False, splits_root=splits_root)
+    adapt_dataset = StereoDataset(dc.dataset_path, dc.dataset_name, dc.split,
+                                  dc.height, dc.width, "train",
+                                  load_disp_left=True, load_disp_right=True, **mk)
+    adapt_val_dataset = StereoDataset(dc.dataset_path, dc.dataset_name, dc.split,
+                                      dc.height, dc.width, "val",
+                                      load_disp_left=True, load_disp_right=False, **mk)
+    train_val_dataset = StereoDataset(ac.train_dataset_path or dc.dataset_path,
+                                      ac.train_dataset_name or dc.dataset_name,
+                                      ac.train_split or dc.split,
+                                      dc.height, dc.width, "val",
+                                      load_disp_left=True, load_disp_right=False, **mk)
+    adapt_loader = BatchLoader(adapt_dataset, dc.batch_size, shuffle=False,
+                               num_workers=dc.num_workers, seed=cfg.seed)
+    adapt_val_loader = BatchLoader(adapt_val_dataset, min(6, max(1, len(adapt_val_dataset))),
+                                   shuffle=False, num_workers=dc.num_workers, seed=cfg.seed)
+    train_val_loader = BatchLoader(train_val_dataset, min(6, max(1, len(train_val_dataset))),
+                                   shuffle=False, num_workers=dc.num_workers, seed=cfg.seed)
+
+    adapt_writer = MetricsWriter(os.path.join(log_path, "adapt"))
+    train_writer = MetricsWriter(os.path.join(log_path, "train"))
+
+    use_er = ac.adapt_mode in ("ER", "VS+ER")
+    use_vs = ac.adapt_mode not in ("NONSTOP", "ER", "NONE")
+
+    step_kwargs = dict(
+        smoothness_weight=ac.smoothness_weight,
+        er_loss_weight=ac.er_loss_weight, use_er=use_er, use_vs=use_vs,
+        ood_threshold=ac.ood_threshold, fcs_ema_weight=ac.fcs_ema_weight,
+        clip_grad_norm=oc.clip_grad_norm)
+    eval_step = make_eval_step(model, s, k)
+
+    if engine == "flat":
+        from .flat_stream import (
+            flat_state_to_variables,
+            init_flat_stream_state,
+            make_flat_streaming_steps,
+        )
+
+        ss, spec = init_flat_stream_state(
+            train_state.params, train_state.batch_stats, oc.learning_rate,
+            ac.ovs_buffer_size, hs, ws, log_chunk, seed=cfg.seed)
+        f_adapt, f_done, validate_step = make_flat_streaming_steps(
+            model, spec, s, k, **step_kwargs)
+
+        def current_variables(ss):
+            return flat_state_to_variables(ss, spec)
+
+        def adapt_step(ss, batch, er_batch, idx):
+            return f_adapt(ss, batch[f"color_l/{s}"], batch[f"color_r/{s}"],
+                           batch.get(f"gt_disp_l/{s}",
+                                     jnp.zeros((1, hs, ws, 1))),
+                           er_batch[f"color_l/{s}"], er_batch[f"color_r/{s}"],
+                           er_batch.get(f"gt_disp_l/{s}",
+                                        jnp.zeros((1, hs, ws, 1))), idx)
+
+        def done_step(ss, batch, idx):
+            return f_done(ss, batch[f"color_l/{s}"], batch[f"color_r/{s}"],
+                          batch.get(f"gt_disp_l/{s}",
+                                    jnp.zeros((1, hs, ws, 1))), idx)
+    else:
+        adapt_step, done_step, validate_step = make_streaming_steps(
+            model, s, k, **step_kwargs)
+        ss = init_stream_state(train_state, ac.ovs_buffer_size, hs, ws,
+                               log_chunk, seed=cfg.seed)
+
+        def current_variables(ss):
+            return {"params": ss.train.params, "batch_stats": ss.train.batch_stats}
+    machine = _PlateauMachine(
+        State.DONE if ac.adapt_mode == "NONE" else State.IN_PROGRESS,
+        ac.val_improve_retries)
+
+    trials = TrialsLog(os.path.join(log_path, "trials.csv"))
+
+    def run_eval():
+        v = current_variables(ss)
+        ma = evaluate(eval_step, v["params"], v["batch_stats"],
+                      adapt_val_loader, cfg.fast_eval, ac.num_steps)
+        mt = evaluate(eval_step, v["params"], v["batch_stats"],
+                      train_val_loader, cfg.fast_eval, ac.num_steps)
+        return ma, mt
+
+    def save_ckpt(tag):
+        import json as _json
+
+        from flax import serialization
+
+        v = current_variables(ss)
+        folder = os.path.join(log_path, "models", f"weights_{tag}")
+        os.makedirs(folder, exist_ok=True)
+        payload = {"step": np.asarray(tag), "params": jax.device_get(v["params"]),
+                   "batch_stats": jax.device_get(v["batch_stats"])}
+        with open(os.path.join(folder, "state.msgpack"), "wb") as fo:
+            fo.write(serialization.to_bytes(payload))
+        with open(os.path.join(folder, "meta.json"), "w") as fo:
+            _json.dump({"config": cfg.to_json(),
+                        "gradient_updates": gradient_updates}, fo)
+
+    if not ac.skip_initial_eval:
+        ma, mt = run_eval()
+        adapt_writer.log_scalars(ma, {}, 0, 0, 0)
+        train_writer.log_scalars(mt, {}, 0, 0, 0)
+        trials.append(ma, mt, {}, step=-1)
+
+    gradient_updates = 0
+    drained_through = 0
+    epoch, step = 0, 0
+    final_metrics: Dict = {}
+    t_start = time.time()
+
+    def drain(upto_step: int):
+        """One readback of the ring log covering [drained_through, upto_step)."""
+        nonlocal drained_through, gradient_updates
+        n = upto_step - drained_through
+        if n <= 0:
+            return
+        assert n <= log_chunk, "log_chunk too small for the drain cadence"
+        rows = np.asarray(ss.log)
+        idx = [(drained_through + i) % log_chunk for i in range(n)]
+        data = rows[idx]  # (n, len(LOG_COLS))
+        col = {name: data[:, j] for j, name in enumerate(LOG_COLS)}
+        for i in range(n):
+            t = drained_through + i
+            adapt_writer.add_scalar("fcs/raw", col["fcs_raw"][i], t)
+            adapt_writer.add_scalar("fcs/smoothed", col["fcs_smoothed"][i], t)
+        gradient_updates += int(col["do_update"].sum())
+        added = int(col["did_add"].sum())
+        if added:
+            machine.ovs_did_change = True
+            print(f"[ OVS ] {added} pair(s) entered the OVS in steps "
+                  f"[{drained_through}, {upto_step})")
+        novel_count = int(col["novel"].sum())
+        if novel_count and machine.state == State.DONE:
+            # Bounded-lag restart (see module docstring).
+            machine.restart()
+        last = n - 1
+        if (upto_step - 1) % cfg.log_frequency == 0 and upto_step > 1:
+            adapt_writer.log_scalars(
+                {"EPE": float(col["epe"][last])},
+                {"Monodepth/total_loss": float(col["mono_loss"][last]),
+                 "Replay/total_loss": float(col["replay_loss"][last])},
+                0, epoch, upto_step - 1)
+        drained_through = upto_step
+
+    for epoch in range(cfg.num_epochs):
+        if ac.num_steps > 0 and step >= ac.num_steps:
+            break
+        for batch_idx, raw_batch in enumerate(adapt_loader):
+            if step % ac.ovs_validate_hz == 0 and step > 0:
+                drain(step)
+                if machine.state == State.IN_PROGRESS:
+                    ss, avg, size = validate_step(ss)
+                    if int(size) > 0 and use_vs:
+                        machine.transition(float(avg))
+
+            batch = {key: jax.device_put(jnp.asarray(v)) for key, v in raw_batch.items()}
+            if machine.state == State.IN_PROGRESS:
+                if use_er:
+                    it = train_val_dataset[step % len(train_val_dataset)]
+                    er_batch = {key: jax.device_put(jnp.asarray(v)[None])
+                                for key, v in it.items()}
+                else:
+                    er_batch = batch
+                ss = adapt_step(ss, batch, er_batch, jnp.asarray(batch_idx, jnp.int32))
+            else:
+                ss = done_step(ss, batch, jnp.asarray(batch_idx, jnp.int32))
+            step += 1
+
+            if step % cfg.log_frequency == 0:
+                drain(step)
+
+            mid_eval = ac.eval_hz > 0 and step % ac.eval_hz == 0
+            end_eval = ac.eval_hz <= 0 and batch_idx == len(adapt_loader) - 1
+            if mid_eval or end_eval:
+                drain(step)
+                adapt_writer.add_scalar("GRADIENT_UPDATES", gradient_updates, step)
+                ma, mt = run_eval()
+                adapt_writer.log_scalars(ma, {}, 0, epoch, step)
+                train_writer.log_scalars(mt, {}, 0, epoch, step)
+                save_ckpt(step)
+                trials.append(ma, mt, {"GRADIENT_UPDATES": gradient_updates}, step)
+                final_metrics = {"adapt": ma, "train": mt}
+
+            if ac.num_steps > 0 and step >= ac.num_steps:
+                break
+
+    drain(step)
+    total = time.time() - t_start
+    adapt_writer.close()
+    train_writer.close()
+    return {
+        "steps": step,
+        "gradient_updates": gradient_updates,
+        "steps_per_sec": step / max(total, 1e-9),
+        "final_metrics": final_metrics,
+        "final_state": machine.state.name,
+        "stream_state": ss,
+    }

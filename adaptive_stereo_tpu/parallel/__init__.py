@@ -7,4 +7,11 @@ ICI so the fleet adapts one shared model.
 """
 
 from .mesh import make_mesh, data_sharding, replicated_sharding
-from .fleet import make_fleet_fwd_bwd, make_fleet_apply_updates, FleetDriver
+from .fleet import (
+    make_fleet_fwd_bwd,
+    make_fleet_apply_updates,
+    make_fused_fleet_step,
+    init_fleet_fcs_ema,
+    FleetDriver,
+)
+from .fleet_adapt import fleet_adapt, FleetStream

@@ -35,31 +35,43 @@ from ..engine.steps import clip_stereo_net_grads
 from ..ops import online_ema
 
 
+def _shard_map(fn, mesh, in_specs, out_specs):
+    """jax.shard_map with fallback to the deprecated experimental location."""
+    try:
+        from jax import shard_map as sm  # jax >= 0.8
+
+        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_vma=False)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map as sm
+
+        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+
+
 def make_fleet_fwd_bwd(single_fwd_bwd, mesh: Mesh, axis_name: str = "data"):
-    """vmap the fused single-stream fwd+bwd over a leading stream axis and
-    shard that axis over the mesh. Returns per-stream grads (stacked, sharded)
-    and per-stream aux scalars."""
+    """Per-stream fused fwd+bwd over the mesh via shard_map: each device runs
+    the vmapped step for ITS streams locally (replicated params, stream axis
+    sharded). Returns per-stream grads (stacked, sharded) and per-stream aux.
+
+    shard_map (not jit+with_sharding_constraint) is deliberate: the GSPMD
+    partitioner miscompiled the vmapped cost-volume backward on the virtual
+    CPU mesh (zero stereo-net grads for every shard but the first); explicit
+    per-device locality also guarantees no accidental resharding of the
+    batch.
+    """
 
     def per_stream(params, batch_stats, batch, er_batch):
         add_b = lambda t: jax.tree.map(lambda x: x[None], t)
         return single_fwd_bwd(params, batch_stats, add_b(batch), add_b(er_batch))
 
     vmapped = jax.vmap(per_stream, in_axes=(None, None, 0, 0))
-
-    shard = NamedSharding(mesh, P(axis_name))
-    repl = NamedSharding(mesh, P())
-
-    def sharded_tree(tree, s):
-        return jax.tree.map(lambda _: s, tree)
-
-    @jax.jit
-    def fleet_fwd_bwd(params, batch_stats, batch, er_batch):
-        batch = jax.lax.with_sharding_constraint(batch, sharded_tree(batch, shard))
-        er_batch = jax.lax.with_sharding_constraint(er_batch, sharded_tree(er_batch, shard))
-        params = jax.lax.with_sharding_constraint(params, sharded_tree(params, repl))
-        return vmapped(params, batch_stats, batch, er_batch)
-
-    return fleet_fwd_bwd
+    local = _shard_map(
+        vmapped, mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+    )
+    return jax.jit(local)
 
 
 def make_fleet_apply_updates(clip_grad_norm: bool):
@@ -96,6 +108,144 @@ def make_fleet_apply_updates(clip_grad_norm: bool):
         )
 
     return apply
+
+
+def make_fused_fleet_step(
+    model,
+    mesh: Mesh,
+    input_scale: int,
+    k: int,
+    smoothness_weight: float = 1e-3,
+    er_loss_weight: float = 0.05,
+    use_er: bool = False,
+    use_vs: bool = False,
+    ood_threshold: float = 15.0,
+    fcs_ema_weight: float = 0.999,
+    clip_grad_norm: bool = False,
+    axis_name: str = "data",
+):
+    """The whole fleet adaptation step as ONE XLA program over the mesh.
+
+    Per stream (leading axis, sharded over chips): fused fwd+bwd + FCS EMA +
+    OOD gate with a pre-drawn per-stream reservoir decision. Then the shared
+    update: do_update-weighted mean of per-stream grads (psum over ICI) +
+    one masked Adam update on the replicated params; shared BN running stats
+    take the across-stream mean of per-stream updates.
+
+    step(state, ema_n, batch_n, er_batch_n, would_add_n, in_progress_n)
+      -> (new_state, new_ema_n, aux_n)
+    where ema_n = ((N,) values, (N,) init flags), in_progress_n masks streams
+    whose state machine is DONE (they contribute no gradient; their BN stats
+    update is also masked out).
+    """
+    from ..engine.steps import make_adapt_forward_backward
+
+    single = make_adapt_forward_backward(
+        model, input_scale, k, smoothness_weight=smoothness_weight,
+        er_loss_weight=er_loss_weight, use_er=use_er,
+    )
+
+    def per_stream(params, batch_stats, batch, er_batch):
+        add_b = lambda t: jax.tree.map(lambda x: x[None], t)
+        return single(params, batch_stats, add_b(batch), add_b(er_batch))
+
+    vmapped = jax.vmap(per_stream, in_axes=(None, None, 0, 0))
+
+    def local_step(params, batch_stats, opt_state, ema_n, batch_n, er_batch_n,
+                   would_add_n, in_progress_n):
+        """Runs on each device over its LOCAL streams; collectives combine."""
+        grads_n, stats_n, aux_n = vmapped(params, batch_stats, batch_n, er_batch_n)
+
+        # Per-stream device-side OOD gate (local slice of the EMA vectors).
+        ema_values, ema_init = ema_n
+        fcs_raw = aux_n["fcs_raw"]
+        smoothed = jnp.where(
+            ema_init,
+            ema_values * fcs_ema_weight + (1.0 - fcs_ema_weight) * fcs_raw,
+            fcs_raw,
+        )
+        new_ema = (smoothed, jnp.ones_like(ema_init))
+        if use_vs:
+            novel = smoothed < ood_threshold
+            did_add = novel & would_add_n
+        else:
+            novel = jnp.zeros_like(would_add_n)
+            did_add = jnp.zeros_like(would_add_n)
+        do_update = in_progress_n & jnp.logical_not(did_add)
+
+        # Gradient combine: local weighted sums, then ONE psum over ICI.
+        w = do_update.astype(jnp.float32)
+        local_sum = jax.tree.map(lambda g: jnp.tensordot(w, g, axes=(0, 0)), grads_n)
+        denom = jnp.maximum(jax.lax.psum(jnp.sum(w), axis_name), 1.0)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, axis_name) / denom, local_sum)
+        if clip_grad_norm:
+            grads = clip_stereo_net_grads(grads)
+        any_update = jax.lax.psum(jnp.sum(w), axis_name) > 0
+
+        # Masked Adam on the replicated params (computed identically on every
+        # device — no broadcast needed).
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        def select(new, old):
+            return jax.tree.map(lambda n, o: jnp.where(any_update, n, o), new, old)
+
+        # Shared BN stats: psum-weighted mean of ACTIVE streams' updated
+        # stats (DONE streams masked out); old stats if no stream is active.
+        wa = in_progress_n.astype(jnp.float32)
+        denom_a = jnp.maximum(jax.lax.psum(jnp.sum(wa), axis_name), 1.0)
+        any_active = jax.lax.psum(jnp.sum(wa), axis_name) > 0
+
+        def stats_mean(s_n, s_old):
+            m = jax.lax.psum(jnp.tensordot(wa, s_n, axes=(0, 0)), axis_name) / denom_a
+            return jnp.where(any_active, m, s_old)
+
+        new_stats = jax.tree.map(stats_mean, stats_n, batch_stats)
+
+        aux = dict(aux_n)
+        aux["fcs_smoothed"] = smoothed
+        aux["novel"] = novel
+        aux["did_add"] = did_add
+        aux["do_update"] = do_update
+        return (select(new_params, params), new_stats,
+                select(new_opt_state, opt_state), new_ema, aux)
+
+    tx = None  # bound at first call (from state.tx)
+
+    def make_sharded(state_tx):
+        nonlocal tx
+        tx = state_tx
+        return _shard_map(
+            local_step, mesh,
+            in_specs=(P(), P(), P(), P(axis_name), P(axis_name), P(axis_name),
+                      P(axis_name), P(axis_name)),
+            out_specs=(P(), P(), P(), P(axis_name), P(axis_name)),
+        )
+
+    sharded = {"fn": None}
+
+    @jax.jit
+    def _jitted(params, batch_stats, opt_state, step_count, ema_n, batch_n,
+                er_batch_n, would_add_n, in_progress_n):
+        out = sharded["fn"](params, batch_stats, opt_state, ema_n, batch_n,
+                            er_batch_n, would_add_n, in_progress_n)
+        return out + (step_count + 1,)
+
+    def step(state, ema_n, batch_n, er_batch_n, would_add_n, in_progress_n):
+        if sharded["fn"] is None:
+            sharded["fn"] = make_sharded(state.tx)
+        new_params, new_stats, new_opt, new_ema, aux, new_count = _jitted(
+            state.params, state.batch_stats, state.opt_state, state.step,
+            ema_n, batch_n, er_batch_n, would_add_n, in_progress_n)
+        new_state = state.replace(step=new_count, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        return new_state, new_ema, aux
+
+    return step
+
+
+def init_fleet_fcs_ema(num_streams: int):
+    return (jnp.zeros((num_streams,)), jnp.zeros((num_streams,), bool))
 
 
 class FleetDriver:

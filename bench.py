@@ -62,31 +62,34 @@ def main():
 
     state = create_train_state(model, jax.random.PRNGKey(0), left, right, 5e-5)
 
-    from adaptive_stereo_tpu.engine import init_fcs_ema, make_fused_adapt_step
-
-    fused = make_fused_adapt_step(
-        model, s, k, use_er=True, use_vs=True,
-        ood_threshold=12.76, clip_grad_norm=True,
+    from adaptive_stereo_tpu.engine.flat_stream import (
+        init_flat_stream_state,
+        make_flat_streaming_steps,
     )
 
-    # --- fused adapt step (headline): the state chains through like the real
-    # stream loop (donated buffers), including the per-step scalar readback
-    # the OOD gate implies. ---
-    bench_state = create_train_state(model, jax.random.PRNGKey(0), left, right, 5e-5)
-    ema = init_fcs_ema()
-    would = jnp.asarray(False)
+    # --- fused flat-state streaming adapt step (headline). One XLA program
+    # per frame; host reads the device ring log once every 20 frames (the
+    # production drain cadence). Frames are device-resident here — the
+    # serving path uploads uint8 frames asynchronously. ---
+    ss, spec = init_flat_stream_state(
+        state.params, state.batch_stats, 5e-5, 16, h, w, 64, seed=0)
+    fused = make_flat_streaming_steps(
+        model, spec, s, k, use_er=True, use_vs=True,
+        ood_threshold=12.76, clip_grad_norm=True)
+    adapt_step = fused[0]
+    idx = jnp.asarray(0, jnp.int32)
 
-    def chained_step():
-        nonlocal bench_state, ema
-        bench_state, ema, aux = fused(bench_state, ema, batch, er_batch, would)
-        return float(aux["fcs_raw"])  # host sync, as in the real loop
+    def run_block(n):
+        nonlocal ss
+        for _ in range(n):
+            ss = adapt_step(ss, left, right, gt, left, right, gt, idx)
+        return np.asarray(ss.log)  # boundary drain (one readback)
 
-    for _ in range(3):
-        chained_step()
+    run_block(5)  # warmup / compile
     t0 = time.perf_counter()
-    iters = 50
-    for _ in range(iters):
-        chained_step()
+    iters, drain_every = 60, 20
+    for _ in range(iters // drain_every):
+        run_block(drain_every)
     t_adapt = (time.perf_counter() - t0) / iters
     adapt_fps = 1.0 / t_adapt
 

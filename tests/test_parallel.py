@@ -1,0 +1,127 @@
+"""Multi-chip fleet tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adaptive_stereo_tpu.engine import (
+    create_train_state,
+    make_adapt_forward_backward,
+)
+from adaptive_stereo_tpu.models import StereoModel
+from adaptive_stereo_tpu.parallel import (
+    FleetStream,
+    data_sharding,
+    fleet_adapt,
+    init_fleet_fcs_ema,
+    make_fleet_apply_updates,
+    make_fleet_fwd_bwd,
+    make_fused_fleet_step,
+    make_mesh,
+)
+
+K, S, H, W = 3, 1, 32, 64
+N = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= N, "conftest must provide 8 CPU devices"
+    model = StereoModel(k=K, input_scale=S)
+    rng = np.random.RandomState(0)
+    left = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), left, left, 1e-4)
+    mesh = make_mesh(N)
+    shard = data_sharding(mesh)
+
+    def batch_n(seed):
+        r = np.random.RandomState(seed)
+        return {
+            f"color_l/{S}": jax.device_put(jnp.asarray(r.rand(N, H, W, 3), jnp.float32), shard),
+            f"color_r/{S}": jax.device_put(jnp.asarray(r.rand(N, H, W, 3), jnp.float32), shard),
+            f"gt_disp_l/{S}": jax.device_put(jnp.asarray(r.rand(N, H, W, 1) * 8, jnp.float32), shard),
+        }
+
+    return model, state, mesh, batch_n
+
+
+def test_fleet_fwd_bwd_matches_single_stream(setup):
+    """Per-stream grads from the sharded vmapped step must equal running each
+    stream alone."""
+    model, state, mesh, batch_n = setup
+    single = make_adapt_forward_backward(model, S, K, use_er=False)
+    fleet = make_fleet_fwd_bwd(single, mesh)
+
+    bn = batch_n(1)
+    grads_n, stats_n, aux_n = fleet(state.params, state.batch_stats, bn, bn)
+    assert np.asarray(aux_n["fcs_raw"]).shape == (N,)
+
+    for i in (0, 3, 7):
+        bi = {k_: jnp.asarray(np.asarray(v)[i : i + 1]) for k_, v in bn.items()}
+        g, st_, aux = single(state.params, state.batch_stats, bi, bi)
+        np.testing.assert_allclose(float(aux["fcs_raw"]),
+                                   float(aux_n["fcs_raw"][i]), rtol=1e-5)
+        ref_leaves = jax.tree.leaves(g)
+        got_leaves = [np.asarray(x)[i] for x in jax.tree.leaves(grads_n)]
+        for r, o in zip(ref_leaves, got_leaves):
+            np.testing.assert_allclose(np.asarray(r), o, rtol=2e-4, atol=2e-6)
+
+
+def test_fused_fleet_step_masks_streams(setup):
+    model, state, mesh, batch_n = setup
+    fused = make_fused_fleet_step(model, mesh, S, K, use_vs=True,
+                                  ood_threshold=1e9, clip_grad_norm=True)
+    bn = batch_n(2)
+    ema = init_fleet_fcs_ema(N)
+    would = jnp.asarray([True] * N)       # all novel + all would-add
+    in_prog = jnp.asarray([True] * N)
+    new_state, ema, aux = fused(state, ema, bn, bn, would, in_prog)
+    # Everyone diverted to OVS -> no gradient update at all.
+    assert not bool(np.asarray(aux["do_update"]).any())
+    same = jax.tree.map(lambda a, b: bool(jnp.all(a == b)), new_state.params, state.params)
+    assert all(jax.tree.leaves(same))
+
+    # Half the streams update -> params move.
+    would2 = jnp.asarray([i % 2 == 0 for i in range(N)])
+    s2, ema2, aux2 = fused(state, init_fleet_fcs_ema(N), bn, bn, would2, in_prog)
+    assert int(np.asarray(aux2["do_update"]).sum()) == N // 2
+    moved = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), s2.params, state.params)
+    assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_fleet_adapt_driver_runs(setup):
+    """End-to-end fleet driver on 8 synthetic in-memory streams."""
+    model, state, mesh, batch_n = setup
+
+    class TinyDataset:
+        def __init__(self, seed):
+            self.r = np.random.RandomState(seed)
+            self.items = [
+                {
+                    f"color_l/{S}": self.r.rand(H, W, 3).astype(np.float32),
+                    f"color_r/{S}": self.r.rand(H, W, 3).astype(np.float32),
+                    f"gt_disp_l/{S}": (self.r.rand(H, W, 1) * 8).astype(np.float32),
+                }
+                for _ in range(4)
+            ]
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    streams = [FleetStream(dataset=TinyDataset(i), name=f"cam{i}") for i in range(N)]
+    result = fleet_adapt(
+        model, state, streams, S, K, num_steps=4,
+        ood_threshold=1e9,  # everything novel -> exercises gating paths
+        adapt_mode="VS", ovs_buffer_size=2, ovs_validate_hz=3,
+        mesh=mesh,
+    )
+    assert len(result["streams"]) == N
+    for summary in result["streams"]:
+        assert summary["steps"] == 4
+        assert summary["ovs_size"] > 0
+        # First frames diverted to OVS; later reservoir rejections update.
+        assert summary["gradient_updates"] < 4

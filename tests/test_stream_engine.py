@@ -1,0 +1,198 @@
+"""Streaming (zero-sync) engine vs the reference-parity engine.
+
+NONSTOP mode has no randomness or gating, so the two engines must produce the
+same number of updates and closely matching final metrics. VS behavior
+(device reservoir, plateau machine, bounded-lag restart) is checked
+behaviorally. Also unit-tests the device reservoir against the host one.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaptive_stereo_tpu.data import generate_synthetic_dataset
+from adaptive_stereo_tpu.engine import (
+    AdaptConfig,
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    OptimConfig,
+)
+from adaptive_stereo_tpu.engine.device_reservoir import (
+    init_device_reservoir,
+    reservoir_average_value,
+    reservoir_maybe_add,
+)
+
+H, W = 64, 96
+K, S = 3, 1
+
+
+def test_device_reservoir_semantics():
+    res = init_device_reservoir(3, 4, 4, 3, seed=0)
+    img = jnp.ones((4, 4, 3))
+    t = jnp.ones((), bool)
+    f = jnp.zeros((), bool)
+
+    add = jax.jit(reservoir_maybe_add)
+    # Non-novel frames never enter and never advance the counter.
+    res, did = add(res, img, img, jnp.asarray(1.0), jnp.asarray(0, jnp.int32), f)
+    assert not bool(did) and int(res.count) == 0 and int(res.size) == 0
+    # Fill phase: novel frames always append.
+    for i in range(3):
+        res, did = add(res, img * i, img, jnp.asarray(float(i)),
+                       jnp.asarray(i, jnp.int32), t)
+        assert bool(did)
+    assert int(res.size) == 3 and int(res.count) == 3
+    # Duplicate index (registered during fill) is rejected.
+    res, did = add(res, img, img, jnp.asarray(9.0), jnp.asarray(1, jnp.int32), t)
+    assert not bool(did) and int(res.count) == 4
+    # Full buffer: adds happen with probability cap/i; over many draws some
+    # land and size stays capped.
+    added = 0
+    for i in range(4, 60):
+        res, did = add(res, img, img, jnp.asarray(float(i)),
+                       jnp.asarray(i, jnp.int32), t)
+        added += int(did)
+    assert int(res.size) == 3
+    assert 0 < added < 56
+    assert float(reservoir_average_value(res)) >= 0
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    from adaptive_stereo_tpu.engine import train
+
+    train_root = str(tmp_path_factory.mktemp("train_domain"))
+    novel_root = str(tmp_path_factory.mktemp("novel_domain"))
+    generate_synthetic_dataset(train_root, name="synth", num_train=8, num_val=2,
+                               height=H, width=W, max_disp=16.0, seed=0)
+    generate_synthetic_dataset(novel_root, name="synth", num_train=24, num_val=2,
+                               height=H, width=W, max_disp=16.0, seed=50,
+                               domain_shift=True)
+
+    cfg = ExperimentConfig(
+        model_name="pre", log_dir=str(tmp_path_factory.mktemp("logs")),
+        num_epochs=6, log_frequency=1000, save_freq=100,
+        model=ModelConfig(k=K, input_scale=S),
+        optim=OptimConfig(learning_rate=1e-4, scheduler_step_size=1000),
+        data=DataConfig(dataset_path=train_root, dataset_name="Synthetic",
+                        split="synth", height=H, width=W, batch_size=2,
+                        num_workers=2),
+    )
+    result = train(cfg)
+    state = result["state"]
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return train_root, novel_root, variables
+
+
+def _adapt_cfg(train_root, novel_root, log_dir, name, **kw):
+    defaults = dict(adapt_mode="NONSTOP", num_steps=12, eval_hz=12,
+                    ovs_validate_hz=1000, skip_initial_eval=False,
+                    train_dataset_path=train_root, train_dataset_name="Synthetic",
+                    train_split="synth")
+    defaults.update(kw)
+    return ExperimentConfig(
+        model_name=name, log_dir=log_dir, num_epochs=1, log_frequency=6,
+        model=ModelConfig(k=K, input_scale=S),
+        optim=OptimConfig(learning_rate=3e-4, clip_grad_norm=True,
+                          scheduler_step_size=1000),
+        data=DataConfig(dataset_path=novel_root, dataset_name="Synthetic",
+                        split="synth", height=H, width=W, batch_size=1,
+                        num_workers=2),
+        adapt=AdaptConfig(**defaults),
+    )
+
+
+def test_streaming_matches_classic_nonstop(env, tmp_path):
+    """Classic (per-step-sync), pytree-streaming and flat-streaming engines
+    must agree on NONSTOP adaptation (no gating randomness)."""
+    from adaptive_stereo_tpu.engine import adapt, adapt_streaming
+
+    train_root, novel_root, variables = env
+    cfg1 = _adapt_cfg(train_root, novel_root, str(tmp_path), "classic")
+    cfg2 = _adapt_cfg(train_root, novel_root, str(tmp_path), "streaming")
+    cfg3 = _adapt_cfg(train_root, novel_root, str(tmp_path), "flat")
+
+    r1 = adapt(cfg1, variables=variables)
+    r2 = adapt_streaming(cfg2, variables=variables, engine="pytree")
+    r3 = adapt_streaming(cfg3, variables=variables, engine="flat")
+
+    assert r1["gradient_updates"] == r2["gradient_updates"] == r3["gradient_updates"] == 12
+    e1 = r1["final_metrics"]["adapt"]["EPE"]
+    e2 = r2["final_metrics"]["adapt"]["EPE"]
+    e3 = r3["final_metrics"]["adapt"]["EPE"]
+    assert e2 == pytest.approx(e1, rel=1e-3), (e1, e2)
+    # The flat engine is ulp-identical per step (see
+    # test_flat_step_matches_pytree_step); over a chained run, fp-ordering
+    # differences get amplified by the recurrent adaptation dynamics, so the
+    # end-to-end comparison is necessarily coarser.
+    assert e3 == pytest.approx(e1, rel=0.15), (e1, e3)
+
+
+def test_flat_step_matches_pytree_step(env):
+    """One adaptation step of the flat engine is numerically identical (to
+    f32 ulp noise) to the pytree streaming engine."""
+    import jax
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+
+    from adaptive_stereo_tpu.engine import create_train_state
+    from adaptive_stereo_tpu.engine.flat_stream import (
+        init_flat_stream_state, make_flat_streaming_steps)
+    from adaptive_stereo_tpu.engine.stream_adapt import (
+        init_stream_state, make_streaming_steps)
+    from adaptive_stereo_tpu.models import StereoModel
+
+    _, _, variables = env
+    model = StereoModel(k=K, input_scale=S)
+    rng = np.random.RandomState(0)
+    left = jnp.asarray(rng.rand(1, H, W, 3), np.float32)
+    right = jnp.asarray(rng.rand(1, H, W, 3), np.float32)
+    gt = jnp.asarray(rng.rand(1, H, W, 1) * 8, np.float32)
+    batch = {f"color_l/{S}": left, f"color_r/{S}": right, f"gt_disp_l/{S}": gt}
+    ts = create_train_state(model, jax.random.PRNGKey(0), left, left, 3e-4,
+                            variables=variables)
+
+    kw = dict(use_er=True, use_vs=True, ood_threshold=-1e9, clip_grad_norm=True)
+    a1, _, _ = make_streaming_steps(model, S, K, **kw)
+    ss1 = init_stream_state(ts, 4, H, W, 16, seed=1)
+    fss, spec = init_flat_stream_state(ts.params, ts.batch_stats, 3e-4, 4, H, W,
+                                       16, seed=1)
+    a2, _, _ = make_flat_streaming_steps(model, spec, S, K, **kw)
+
+    idx = jnp.asarray(0, jnp.int32)
+    ss1 = a1(ss1, batch, batch, idx)
+    fss = a2(fss, left, right, gt, left, right, gt, idx)
+
+    t1, _ = ravel_pytree(ss1.train.params)
+    b1, _ = ravel_pytree(ss1.train.batch_stats)
+    assert float(jnp.max(jnp.abs(t1 - fss.theta))) < 5e-6
+    assert float(jnp.max(jnp.abs(b1 - fss.bn))) < 5e-6
+    np.testing.assert_allclose(np.asarray(ss1.log[0]), np.asarray(fss.log[0]),
+                               atol=1e-5)
+
+
+def test_streaming_vs_mode_gates_and_validates(env, tmp_path):
+    from adaptive_stereo_tpu.engine import adapt_streaming
+
+    train_root, novel_root, variables = env
+    cfg = _adapt_cfg(
+        train_root, novel_root, str(tmp_path), "stream_vs",
+        adapt_mode="VS+ER", num_steps=16, eval_hz=16, ovs_buffer_size=4,
+        ovs_validate_hz=6, val_improve_retries=2, ood_threshold=1e9,
+        skip_initial_eval=True)
+    r = adapt_streaming(cfg, variables=variables, engine="flat")
+    assert r["steps"] == 16
+    # All frames novel: the 4 fill-phase frames (+ reservoir hits) are
+    # diverted, so updates < steps.
+    assert 0 < r["gradient_updates"] < 16
+    assert int(r["stream_state"].reservoir.size) == 4
+    # trials.csv written with GRADIENT_UPDATES.
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(str(tmp_path), "stream_vs", "trials.csv"))
+    assert "GRADIENT_UPDATES" in df.columns
