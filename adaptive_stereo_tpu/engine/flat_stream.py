@@ -39,7 +39,7 @@ from .device_reservoir import (
     reservoir_maybe_add,
     reservoir_set_values,
 )
-from .steps import _epe
+from .steps import _epe, mean_fcs_from_outputs
 from .stream_adapt import LOG_COLS
 
 ADAM_B1, ADAM_B2, ADAM_EPS = 0.9, 0.999, 1e-8
@@ -188,8 +188,7 @@ def make_flat_streaming_steps(
                 stats = mut2["batch_stats"]
                 replay = khamis_robust_loss(er_out[f"pred_disp_l/{s}"], er_gt)
                 total = total + er_loss_weight * replay
-            fcs_raw = jnp.mean(
-                feature_contrast_mean(outputs[f"cost_volume_l/{coarse}"]))
+            fcs_raw = mean_fcs_from_outputs(outputs, "l", coarse)
             bn_flat, _ = ravel_pytree(stats)
             return total, (mono, replay, bn_flat, fcs_raw,
                            outputs[f"pred_disp_l/{s}"])
@@ -230,7 +229,7 @@ def make_flat_streaming_steps(
             left, right, side="l", output_cost_volume=True, train=False)
         pred = outputs[f"pred_disp_l/{s}"]
         mono, _ = monodepth_single_loss(left, right, pred, smoothness_weight)
-        fcs_raw = jnp.mean(feature_contrast_mean(outputs[f"cost_volume_l/{coarse}"]))
+        fcs_raw = mean_fcs_from_outputs(outputs, "l", coarse)
         epe = _epe(pred, gt)
 
         smoothed = jnp.where(

@@ -32,6 +32,16 @@ from ..ops import (
 )
 
 
+def mean_fcs_from_outputs(outputs, side: str, coarse: int) -> jnp.ndarray:
+    """Mean image FCS: prefers the Pallas fused epilogue's per-pixel map
+    (outputs['fcs_<side>/<coarse>']) and falls back to deriving it from the
+    cost volume."""
+    key = f"fcs_{side}/{coarse}"
+    if key in outputs:
+        return jnp.mean(outputs[key])
+    return jnp.mean(feature_contrast_mean(outputs[f"cost_volume_{side}/{coarse}"]))
+
+
 def clip_stereo_net_grads(grads: Any, max_norm: float = 1.0) -> Any:
     """Clip ONLY the stereo_net parameter gradients to a global norm.
 
@@ -118,9 +128,7 @@ def make_eval_step(model, input_scale: int, k: int):
             metrics[f"D1_all_{t}px"] = (
                 jnp.sum(maskf * (abs_err > t)) / jnp.sum(maskf)
             )
-        metrics["FCS"] = jnp.mean(
-            feature_contrast_mean(outputs[f"cost_volume_l/{coarse}"])
-        )
+        metrics["FCS"] = mean_fcs_from_outputs(outputs, "l", coarse)
         return metrics
 
     return eval_step
@@ -177,9 +185,7 @@ def make_adapt_forward_backward(
                 losses["Replay/total_loss"] = replay
                 total = total + er_loss_weight * replay
 
-            fcs_raw = jnp.mean(
-                feature_contrast_mean(outputs[f"cost_volume_l/{coarse}"])
-            )
+            fcs_raw = mean_fcs_from_outputs(outputs, "l", coarse)
             pred = outputs[f"pred_disp_l/{input_scale}"]
             return total, (losses, stats, fcs_raw, pred)
 
@@ -216,7 +222,7 @@ def make_infer_step(
         mono_loss, _ = monodepth_single_loss(left, right, pred, smoothness_weight)
         aux = {
             "Monodepth/total_loss": mono_loss,
-            "fcs_raw": jnp.mean(feature_contrast_mean(outputs[f"cost_volume_l/{coarse}"])),
+            "fcs_raw": mean_fcs_from_outputs(outputs, "l", coarse),
         }
         gt_key = f"gt_disp_l/{input_scale}"
         if gt_key in batch:
@@ -321,7 +327,7 @@ def make_fused_adapt_step(
                 )
                 losses["Replay/total_loss"] = replay
                 total = total + er_loss_weight * replay
-            fcs_raw = jnp.mean(feature_contrast_mean(outputs[f"cost_volume_l/{coarse}"]))
+            fcs_raw = mean_fcs_from_outputs(outputs, "l", coarse)
             pred = outputs[f"pred_disp_l/{input_scale}"]
             return total, (losses, stats, fcs_raw, pred)
 

@@ -43,7 +43,7 @@ from .device_reservoir import (
     reservoir_maybe_add,
     reservoir_set_values,
 )
-from .steps import _epe, clip_stereo_net_grads
+from .steps import _epe, clip_stereo_net_grads, mean_fcs_from_outputs
 import optax
 
 # Ring-log column layout.
@@ -146,7 +146,7 @@ def make_streaming_steps(
                 replay = khamis_robust_loss(
                     er_out[f"pred_disp_l/{s}"], er_batch[f"gt_disp_l/{s}"])
                 total = total + er_loss_weight * replay
-            fcs_raw = jnp.mean(feature_contrast_mean(outputs[f"cost_volume_l/{coarse}"]))
+            fcs_raw = mean_fcs_from_outputs(outputs, "l", coarse)
             return total, (mono, replay, stats, fcs_raw, outputs[f"pred_disp_l/{s}"])
 
         (_, (mono, replay, new_stats, fcs_raw, pred)), grads = jax.value_and_grad(
@@ -193,7 +193,7 @@ def make_streaming_steps(
             left, right, side="l", output_cost_volume=True, train=False)
         pred = outputs[f"pred_disp_l/{s}"]
         mono, _ = monodepth_single_loss(left, right, pred, smoothness_weight)
-        fcs_raw = jnp.mean(feature_contrast_mean(outputs[f"cost_volume_l/{coarse}"]))
+        fcs_raw = mean_fcs_from_outputs(outputs, "l", coarse)
         gt_key = f"gt_disp_l/{s}"
         epe = _epe(pred, batch[gt_key]) if gt_key in batch else jnp.zeros(())
 

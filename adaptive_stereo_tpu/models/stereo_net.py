@@ -210,6 +210,7 @@ class StereoNet(nn.Module):
     input_scale: int = 0
     maxdisp: int = 192
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False  # Pallas kernels for cost volume + soft-argmin/FCS
 
     @nn.compact
     def __call__(
@@ -224,7 +225,13 @@ class StereoNet(nn.Module):
         num_disp = coarse_num_disparities(self.maxdisp, self.input_scale, self.k)
         outputs: Dict[str, jnp.ndarray] = {}
 
-        cost = difference_cost_volume(left_features, right_features, num_disp)
+        if self.use_pallas:
+            from ..ops.pallas import difference_cost_volume_pallas
+
+            cost = difference_cost_volume_pallas(
+                left_features, right_features, num_disp)
+        else:
+            cost = difference_cost_volume(left_features, right_features, num_disp)
         for i in range(4):
             cost = ConvBN3D(32, 3, 1, 1, self.dtype, name=f"filter_{i}")(cost, train)
             cost = nn.leaky_relu(cost, negative_slope=0.2)
@@ -234,9 +241,18 @@ class StereoNet(nn.Module):
 
         # (B, D, h, w): soft-argmin over the disparity axis in float32.
         cost = jnp.squeeze(cost, -1).astype(jnp.float32)
-        pred = soft_argmin(cost, axis=1)
-
         coarse_scale = self.input_scale + self.k
+        if self.use_pallas:
+            from ..ops.pallas import soft_argmin_fcs_pallas
+
+            pred, fcs = soft_argmin_fcs_pallas(cost)
+            # Fused epilogue also yields the per-pixel FCS map; downstream
+            # consumers (OOD gate, eval) pick it up instead of re-deriving it
+            # from the cost volume.
+            outputs[f"fcs_{side}/{coarse_scale}"] = fcs
+        else:
+            pred = soft_argmin(cost, axis=1)
+
         if output_cost_volume:
             outputs[f"cost_volume_{side}/{coarse_scale}"] = cost
 
@@ -258,10 +274,12 @@ class StereoModel(nn.Module):
     input_scale: int = 0
     maxdisp: int = 192
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     def setup(self):
         self.feature_net = FeatureExtractorNetwork(self.k, self.dtype)
-        self.stereo_net = StereoNet(self.k, 1, self.input_scale, self.maxdisp, self.dtype)
+        self.stereo_net = StereoNet(self.k, 1, self.input_scale, self.maxdisp,
+                                    self.dtype, self.use_pallas)
 
     def __call__(self, left_img, right_img, side: str = "l",
                  output_cost_volume: bool = False, train: bool = True):
