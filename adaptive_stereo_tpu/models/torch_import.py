@@ -126,6 +126,50 @@ def import_stereo_net_state_dict(sd: Dict[str, Any]) -> Tuple[dict, dict]:
     return params, stats
 
 
+def _inv_conv2d(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (3, 2, 0, 1))
+
+
+def _inv_conv3d(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (4, 3, 0, 1, 2))
+
+
+def export_feature_net_state_dict(params: dict, stats: dict, k: int) -> Dict[str, np.ndarray]:
+    """Inverse of import_feature_net_state_dict: flax -> reference torch
+    state-dict names (dead conv2 tensors are zero-filled so strict torch
+    loading still works)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_convbn(prefix_conv, prefix_bn, p, st):
+        sd[f"{prefix_conv}.weight"] = _inv_conv2d(p["conv"]["kernel"])
+        sd[f"{prefix_conv}.bias"] = np.asarray(p["conv"]["bias"])
+        sd[f"{prefix_bn}.weight"] = np.asarray(p["bn"]["scale"])
+        sd[f"{prefix_bn}.bias"] = np.asarray(p["bn"]["bias"])
+        sd[f"{prefix_bn}.running_mean"] = np.asarray(st["bn"]["mean"])
+        sd[f"{prefix_bn}.running_var"] = np.asarray(st["bn"]["var"])
+        sd[f"{prefix_bn}.num_batches_tracked"] = np.asarray(0)
+
+    for i in range(k):
+        sd[f"downsample.{i}.weight"] = _inv_conv2d(params[f"downsample_{i}"]["kernel"])
+        sd[f"downsample.{i}.bias"] = np.asarray(params[f"downsample_{i}"]["bias"])
+    for i in range(6):
+        p, st = params[f"residual_{i}"], stats[f"residual_{i}"]
+        put_convbn(f"residual_blocks.{i}.conv1.0.0", f"residual_blocks.{i}.conv1.0.1",
+                   p["conv1"], st["conv1"])
+        # Dead conv2 (never applied in the reference forward): zeros.
+        c = p["conv1"]["conv"]["kernel"].shape[-1]
+        sd[f"residual_blocks.{i}.conv2.0.weight"] = np.zeros((c, c, 3, 3), np.float32)
+        sd[f"residual_blocks.{i}.conv2.0.bias"] = np.zeros((c,), np.float32)
+        sd[f"residual_blocks.{i}.conv2.1.weight"] = np.ones((c,), np.float32)
+        sd[f"residual_blocks.{i}.conv2.1.bias"] = np.zeros((c,), np.float32)
+        sd[f"residual_blocks.{i}.conv2.1.running_mean"] = np.zeros((c,), np.float32)
+        sd[f"residual_blocks.{i}.conv2.1.running_var"] = np.ones((c,), np.float32)
+        sd[f"residual_blocks.{i}.conv2.1.num_batches_tracked"] = np.asarray(0)
+    sd["conv_alone.weight"] = _inv_conv2d(params["conv_alone"]["kernel"])
+    sd["conv_alone.bias"] = np.asarray(params["conv_alone"]["bias"])
+    return sd
+
+
 def load_reference_checkpoint(folder: str, k: int) -> Dict[str, dict]:
     """Load `feature_net.pth` + `stereo_net.pth` from a reference weights
     folder into variables for models.StereoModel:

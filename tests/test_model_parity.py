@@ -109,3 +109,26 @@ def test_forward_parity_train_mode_batchnorm():
             ref_np, mine, atol=5e-3, rtol=1e-3,
             err_msg=f"train-mode mismatch for output {key}",
         )
+
+
+def test_feature_net_state_dict_round_trip():
+    """flax -> torch export inverts the importer (live tensors exactly; dead
+    conv2 zero-filled for strict loading)."""
+    from adaptive_stereo_tpu.models.torch_import import (
+        export_feature_net_state_dict,
+        import_feature_net_state_dict,
+    )
+
+    torch.manual_seed(11)
+    ref = RefFeatureNet(3)
+    sd0 = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = import_feature_net_state_dict(sd0, 3)
+    sd1 = export_feature_net_state_dict(params, stats, 3)
+    for key, v0 in sd0.items():
+        if ".conv2." in key:
+            continue  # dead tensors; export zero-fills
+        np.testing.assert_array_equal(v0, sd1[key], err_msg=key)
+    # Exported dict loads strictly into a fresh torch model.
+    ref2 = RefFeatureNet(3)
+    ref2.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
+                          for k, v in sd1.items()}, strict=True)
