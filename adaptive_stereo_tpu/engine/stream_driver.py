@@ -65,10 +65,16 @@ class _PlateauMachine:
 
 def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                     splits_root: Optional[str] = None,
-                    log_chunk: int = 512, engine: str = "flat") -> Dict:
+                    log_chunk: int = 512, engine: str = "flat",
+                    transfer_uint8: bool = False) -> Dict:
     """engine='flat' (default): minimal-dispatch-payload flat-state engine
     (engine/flat_stream.py) — fastest on remote-dispatch TPUs.
-    engine='pytree': the structured stream engine (engine/stream_adapt.py)."""
+    engine='pytree': the structured stream engine (engine/stream_adapt.py).
+
+    transfer_uint8 (flat engine only): upload stream frames as uint8 and
+    normalize on device — 4x less host->device bandwidth per frame, at the
+    cost of re-quantizing the resized pyramid colors (<=0.5/255 noise; the
+    source images are 8-bit anyway)."""
     mc, ac, dc, oc = cfg.model, cfg.adapt, cfg.data, cfg.optim
     s, k = mc.input_scale, mc.k
     log_path = os.path.join(cfg.log_dir, cfg.model_name)
@@ -134,21 +140,30 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
             train_state.params, train_state.batch_stats, oc.learning_rate,
             ac.ovs_buffer_size, hs, ws, log_chunk, seed=cfg.seed)
         f_adapt, f_done, validate_step = make_flat_streaming_steps(
-            model, spec, s, k, **step_kwargs)
+            model, spec, s, k, images_uint8=transfer_uint8, **step_kwargs)
 
         def current_variables(ss):
             return flat_state_to_variables(ss, spec)
 
+        def color(batch, key):
+            # `batch` values are HOST numpy here when transfer_uint8 (the
+            # driver skips the f32 upload for color keys in that mode).
+            img = batch[key]
+            if transfer_uint8:
+                img = jax.device_put(
+                    np.clip(np.asarray(img) * 255.0, 0, 255).round().astype(np.uint8))
+            return img
+
         def adapt_step(ss, batch, er_batch, idx):
-            return f_adapt(ss, batch[f"color_l/{s}"], batch[f"color_r/{s}"],
+            return f_adapt(ss, color(batch, f"color_l/{s}"), color(batch, f"color_r/{s}"),
                            batch.get(f"gt_disp_l/{s}",
                                      jnp.zeros((1, hs, ws, 1))),
-                           er_batch[f"color_l/{s}"], er_batch[f"color_r/{s}"],
+                           color(er_batch, f"color_l/{s}"), color(er_batch, f"color_r/{s}"),
                            er_batch.get(f"gt_disp_l/{s}",
                                         jnp.zeros((1, hs, ws, 1))), idx)
 
         def done_step(ss, batch, idx):
-            return f_done(ss, batch[f"color_l/{s}"], batch[f"color_r/{s}"],
+            return f_done(ss, color(batch, f"color_l/{s}"), color(batch, f"color_r/{s}"),
                           batch.get(f"gt_disp_l/{s}",
                                     jnp.zeros((1, hs, ws, 1))), idx)
     else:
@@ -246,12 +261,23 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                     if int(size) > 0 and use_vs:
                         machine.transition(float(avg))
 
-            batch = {key: jax.device_put(jnp.asarray(v)) for key, v in raw_batch.items()}
+            if engine == "flat" and transfer_uint8:
+                # Colors go up as uint8 inside color(); upload only the rest.
+                batch = {key: (v if key.startswith("color") else
+                               jax.device_put(jnp.asarray(v)))
+                         for key, v in raw_batch.items()}
+            else:
+                batch = {key: jax.device_put(jnp.asarray(v)) for key, v in raw_batch.items()}
             if machine.state == State.IN_PROGRESS:
                 if use_er:
                     it = train_val_dataset[step % len(train_val_dataset)]
-                    er_batch = {key: jax.device_put(jnp.asarray(v)[None])
-                                for key, v in it.items()}
+                    if engine == "flat" and transfer_uint8:
+                        er_batch = {key: (v[None] if key.startswith("color") else
+                                          jax.device_put(jnp.asarray(v)[None]))
+                                    for key, v in it.items()}
+                    else:
+                        er_batch = {key: jax.device_put(jnp.asarray(v)[None])
+                                    for key, v in it.items()}
                 else:
                     er_batch = batch
                 ss = adapt_step(ss, batch, er_batch, jnp.asarray(batch_idx, jnp.int32))

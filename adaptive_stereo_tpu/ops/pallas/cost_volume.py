@@ -7,9 +7,9 @@ right image by d pixels" becomes "shift lanes by d*C". Each grid point
     out[b, d, h, x*C + c] = f_l[b, h, x*C + c] - f_r[b, h, (x-d)*C + c]
                             (0 where x < d — the reference's zero border)
 
-The shift uses a zero-padded scratch of width 2*W*C and a dynamic-start,
-static-size slice (pl.ds) — no gathers, pure VMEM moves. Golden twin:
-ops.difference_cost_volume.
+Every shift is a STATIC slice (the disparity loop is unrolled in-kernel —
+D is small and static), so Mosaic needs no alignment proofs; no gathers,
+pure VMEM moves. Golden twin: ops.difference_cost_volume.
 """
 
 from __future__ import annotations
@@ -22,19 +22,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(fl_ref, fr_ref, out_ref, scratch, *, wc: int, c: int):
-    d = pl.program_id(1)
-    dc = d * c
+def _kernel(fl_ref, fr_ref, out_ref, *, wc: int, c: int, num_disp: int):
+    """STATIC unroll over the (small) disparity axis: every shift is a
+    static-offset slice, which Mosaic accepts at any alignment (a dynamic
+    lane-offset slice requires 128-multiple starts it cannot prove here)."""
     th = fl_ref.shape[1]
-
-    scratch[:, :wc] = jnp.zeros((th, wc), fl_ref.dtype)
-    scratch[:, wc:] = fr_ref[0]
-
-    shifted = scratch[:, pl.ds(wc - dc, wc)]
-    diff = fl_ref[0] - shifted
-
+    fl = fl_ref[0]
+    fr = fr_ref[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (th, wc), 1)
-    out_ref[0, 0] = jnp.where(lane >= dc, diff, jnp.zeros_like(diff))
+    for d in range(num_disp):
+        dc = d * c
+        if dc == 0:
+            out_ref[0, 0] = fl - fr
+        elif dc >= wc:
+            out_ref[0, d] = jnp.zeros((th, wc), fl_ref.dtype)
+        else:
+            shifted = jnp.concatenate(
+                [jnp.zeros((th, dc), fl_ref.dtype), fr[:, : wc - dc]], axis=1)
+            diff = fl - shifted
+            out_ref[0, d] = jnp.where(lane >= dc, diff, jnp.zeros_like(diff))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -58,18 +64,17 @@ def _forward(f_l, f_r, num_disp, interpret):
     fr2 = f_r.reshape(b, h, wc)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, wc=wc, c=c),
+        functools.partial(_kernel, wc=wc, c=c, num_disp=num_disp),
         out_shape=jax.ShapeDtypeStruct((b, num_disp, h, wc), f_l.dtype),
-        grid=(b, num_disp),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, h, wc), lambda bi, di: (bi, 0, 0),
+            pl.BlockSpec((1, h, wc), lambda bi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, wc), lambda bi, di: (bi, 0, 0),
+            pl.BlockSpec((1, h, wc), lambda bi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, h, wc), lambda bi, di: (bi, di, 0, 0),
+        out_specs=pl.BlockSpec((1, num_disp, h, wc), lambda bi: (bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((h, 2 * wc), f_l.dtype)],
         interpret=interpret,
     )(fl2, fr2)
     return out.reshape(b, num_disp, h, w, c)

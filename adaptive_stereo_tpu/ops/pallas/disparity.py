@@ -35,10 +35,11 @@ def _kernel(cost_ref, disp_ref, fcs_ref, *, num_disp: int):
 
     fcs_ref[0] = m1 - (total - m1 - m2) / (d - 2)
 
-    # Numerically stable softmax expectation.
+    # Numerically stable softmax expectation. (tpu.iota only emits integer
+    # vectors — cast after.)
     p = jnp.exp(cost - m1[None, :])
     z = jnp.sum(p, axis=0)
-    dvals = jax.lax.broadcasted_iota(jnp.float32, cost.shape, 0)
+    dvals = row.astype(jnp.float32)
     disp_ref[0] = jnp.sum(p * dvals, axis=0) / z
 
 

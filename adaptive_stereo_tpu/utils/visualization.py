@@ -13,14 +13,14 @@ import numpy as np
 def apply_disparity_colormap(disp: np.ndarray, cmap: str = "magma") -> np.ndarray:
     """Colormap a (H, W) or (H, W, 1) disparity map with per-image
     normalization. Returns (H, W, 3) float32 in [0, 1]."""
-    import matplotlib.cm as cm
+    import matplotlib
 
     d = np.asarray(disp, np.float32)
     if d.ndim == 3:
         d = d[..., 0]
     lo, hi = float(d.min()), float(d.max())
     norm = (d - lo) / (hi - lo + 1e-9)
-    return np.asarray(cm.get_cmap(cmap)(norm), np.float32)[..., :3]
+    return np.asarray(matplotlib.colormaps[cmap](norm), np.float32)[..., :3]
 
 
 def side_by_side(*imgs: np.ndarray) -> np.ndarray:

@@ -1,0 +1,84 @@
+"""CLI surface tests: reference-compatible flag parsing + evaluate tooling."""
+
+import os
+
+import numpy as np
+import pytest
+
+from adaptive_stereo_tpu.cli import build_parser, options_to_config
+
+
+def test_flag_surface_matches_reference_names():
+    """Every reference TrainOptions flag parses (train.py:246-301)."""
+    argv = [
+        "adapt",
+        "--height", "320", "--width", "960", "--model_name", "exp",
+        "--stereonet_input_scale", "0", "--stereonet_k", "4",
+        "--dataset_path", "/d", "--dataset_name", "VirtualKitti",
+        "--split", "virtual_kitti_01_adapt", "--batch_size", "1",
+        "--do_hflip", "--no_shuffle", "--log_dir", "/logs",
+        "--load_weights_folder", "/w", "--scheduler_step_size", "100000",
+        "--num_workers", "2", "--num_epochs", "1", "--log_frequency", "20",
+        "--save_freq", "1", "--fast_eval", "--learning_rate", "5e-5",
+        "--clip_grad_norm", "--smoothness_weight", "0.001",
+        "--consistency_weight", "0.001", "--num_steps", "4000",
+        "--ovs_buffer_size", "8", "--skip_initial_eval",
+        "--ovs_validate_hz", "20", "--adapt_mode", "VS+ER",
+        "--val_improve_retries", "2", "--eval_hz", "100",
+        "--er_loss_weight", "0.05", "--train_dataset_path", "/t",
+        "--train_dataset_name", "SceneFlowFlying",
+        "--train_split", "sceneflow_flying_er_1000",
+        "--ood_threshold", "12.76", "--fcs_ema_weight", "0.999",
+    ]
+    opt = build_parser().parse_args(argv)
+    cfg = options_to_config(opt)
+    assert cfg.model.k == 4 and cfg.model.input_scale == 0
+    assert cfg.optim.learning_rate == 5e-5 and cfg.optim.clip_grad_norm
+    assert cfg.adapt.adapt_mode == "VS+ER" and cfg.adapt.num_steps == 4000
+    assert cfg.adapt.ovs_buffer_size == 8 and cfg.adapt.ood_threshold == 12.76
+    assert cfg.data.split == "virtual_kitti_01_adapt"
+    # Round-trips through JSON.
+    from adaptive_stereo_tpu.engine import ExperimentConfig
+
+    assert ExperimentConfig.from_json(cfg.to_json()).to_json() == cfg.to_json()
+
+
+def test_cli_evaluate_save_and_playback(tmp_path):
+    """evaluate subcommand: save + playback over a synthetic dataset with a
+    native-format checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaptive_stereo_tpu.cli import main
+    from adaptive_stereo_tpu.data import generate_synthetic_dataset
+    from adaptive_stereo_tpu.engine import create_train_state, save_checkpoint
+    from adaptive_stereo_tpu.models import StereoModel
+
+    root = str(tmp_path / "data")
+    generate_synthetic_dataset(root, name="synth", num_train=2, num_val=2,
+                               height=64, width=96, max_disp=12.0, seed=1)
+
+    model = StereoModel(k=3, input_scale=0)
+    dummy = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), dummy, dummy, 1e-4)
+    ckpt = save_checkpoint(str(tmp_path / "logs"), state, "t", {})
+
+    common = [
+        "--height", "64", "--width", "96", "--stereonet_k", "3",
+        "--stereonet_input_scale", "0", "--dataset_path", root,
+        "--dataset_name", "Synthetic", "--split", "synth",
+        "--splits_root", os.path.join(root, "splits"),
+        "--load_weights_folder", ckpt,
+    ]
+    out1 = str(tmp_path / "saved")
+    assert main(["evaluate", "--mode", "save", "--output_folder", out1,
+                 "--limit", "2"] + common) == 0
+    saved = sorted(os.listdir(out1))
+    assert len(saved) == 2 and saved[0].endswith("_pred_disp.npy")
+    disp = np.load(os.path.join(out1, saved[0]))
+    assert disp.shape == (64, 96)
+
+    out2 = str(tmp_path / "playback")
+    assert main(["evaluate", "--mode", "playback", "--output_folder", out2,
+                 "--limit", "1"] + common) == 0
+    assert os.path.exists(os.path.join(out2, "000000.png"))

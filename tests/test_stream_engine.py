@@ -196,3 +196,17 @@ def test_streaming_vs_mode_gates_and_validates(env, tmp_path):
 
     df = pd.read_csv(os.path.join(str(tmp_path), "stream_vs", "trials.csv"))
     assert "GRADIENT_UPDATES" in df.columns
+
+
+def test_streaming_uint8_transfer(env, tmp_path):
+    """uint8 frame transfer: same protocol, quantization-level differences."""
+    from adaptive_stereo_tpu.engine import adapt_streaming
+
+    train_root, novel_root, variables = env
+    cfg = _adapt_cfg(train_root, novel_root, str(tmp_path), "u8",
+                     adapt_mode="NONSTOP", num_steps=6, eval_hz=6,
+                     skip_initial_eval=True)
+    r = adapt_streaming(cfg, variables=variables, engine="flat",
+                        transfer_uint8=True)
+    assert r["gradient_updates"] == 6
+    assert np.isfinite(r["final_metrics"]["adapt"]["EPE"])
