@@ -6,7 +6,13 @@ each chip serves its own camera stream; adaptation gradients are reduced over
 ICI so the fleet adapts one shared model.
 """
 
-from .mesh import make_mesh, data_sharding, replicated_sharding
+from .mesh import (
+    make_mesh,
+    data_sharding,
+    replicated_sharding,
+    initialize_multihost,
+    local_data_slice,
+)
 from .fleet import (
     make_fleet_fwd_bwd,
     make_fleet_apply_updates,
@@ -15,3 +21,4 @@ from .fleet import (
     FleetDriver,
 )
 from .fleet_adapt import fleet_adapt, FleetStream
+from .train import make_parallel_train_step

@@ -125,3 +125,54 @@ def test_fleet_adapt_driver_runs(setup):
         assert summary["ovs_size"] > 0
         # First frames diverted to OVS; later reservoir rejections update.
         assert summary["gradient_updates"] < 4
+
+
+def test_parallel_train_step_matches_single_device(setup):
+    """8-way data-parallel supervised step == single-device step on the same
+    global batch (psum-mean grads; local-BN, averaged running stats)."""
+    from adaptive_stereo_tpu.engine import create_train_state, make_train_step
+    from adaptive_stereo_tpu.parallel import data_sharding, make_parallel_train_step
+
+    model, _, mesh, batch_n = setup
+    rng = np.random.RandomState(7)
+    left = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
+    state_a = create_train_state(model, jax.random.PRNGKey(1), left, left, 1e-4)
+    state_b = create_train_state(model, jax.random.PRNGKey(1), left, left, 1e-4)
+
+    gb = {
+        f"color_l/{S}": rng.rand(N, H, W, 3).astype(np.float32),
+        f"color_r/{S}": rng.rand(N, H, W, 3).astype(np.float32),
+        f"gt_disp_l/{S}": (rng.rand(N, H, W, 1) * 8).astype(np.float32),
+    }
+    shard = data_sharding(mesh)
+    sharded_batch = {k_: jax.device_put(jnp.asarray(v), shard) for k_, v in gb.items()}
+
+    pstep = make_parallel_train_step(model, state_a.tx, mesh, S, [S, S + K],
+                                     clip_grad_norm=False)
+    state_a, losses_p = pstep(state_a, sharded_batch)
+
+    # Single-device reference: same global batch. NOTE exact equality is not
+    # expected — single-device BN normalizes over the global batch while the
+    # parallel step uses per-device batches — so compare LOSS (computed
+    # pre-update from identical params/stats, modulo BN batch-size effects)
+    # loosely and assert params moved similarly.
+    sstep = make_train_step(model, state_b.tx, S, [S, S + K], clip_grad_norm=False)
+    state_b, losses_s = sstep(state_b, {k_: jnp.asarray(v) for k_, v in gb.items()})
+
+    lp, ls = float(losses_p["total_loss"]), float(losses_s["total_loss"])
+    assert abs(lp - ls) / ls < 0.05, (lp, ls)
+    # Parameter updates point the same way (cosine similarity of the deltas).
+    da = jnp.concatenate([x.ravel() for x in jax.tree.leaves(
+        jax.tree.map(lambda a, b: a - b, state_a.params, state_b.params))])
+    # state_b delta vs original == same tree; compute via fresh init
+    state_c = create_train_state(model, jax.random.PRNGKey(1), left, left, 1e-4)
+    d_p = jnp.concatenate([x.ravel() for x in jax.tree.leaves(
+        jax.tree.map(lambda a, b: a - b, state_a.params, state_c.params))])
+    d_s = jnp.concatenate([x.ravel() for x in jax.tree.leaves(
+        jax.tree.map(lambda a, b: a - b, state_b.params, state_c.params))])
+    cos = float(jnp.dot(d_p, d_s) / (jnp.linalg.norm(d_p) * jnp.linalg.norm(d_s)))
+    # Step-1 Adam updates are elementwise sign(g); local-BN (batch 1/device)
+    # vs global-BN (batch 8) flips signs of near-zero gradient entries, so
+    # the delta cosine is well below 1 even though the losses agree — assert
+    # it is strongly positive.
+    assert cos > 0.5, cos
