@@ -229,3 +229,17 @@ def test_reconstruction_ood_baseline():
                                          cutoff=float(np.median(
                                              np.concatenate([train_scores, novel_scores]))))
     assert 0 <= pr["precision"] <= 1 and 0 <= pr["recall"] <= 1
+
+
+def test_profiling_cost_analysis():
+    from adaptive_stereo_tpu.analysis.profiling import achieved_flops, cost_analysis
+
+    def f(a, b):
+        return a @ b
+
+    a = jnp.ones((128, 256), jnp.float32)
+    b = jnp.ones((256, 64), jnp.float32)
+    stats = cost_analysis(f, a, b)
+    assert stats.get("flops", 0) == pytest.approx(2 * 128 * 256 * 64, rel=0.01)
+    perf = achieved_flops(f, a, b, iters=3)
+    assert perf["seconds_per_call"] > 0 and np.isfinite(perf["achieved_tflops"])
