@@ -173,6 +173,67 @@ class StereoDepthEngine:
         return {"disparity": disp, "depth": depth, "points": pts, "colors": cols}
 
 
+class AsyncStereoDepthEngine(StereoDepthEngine):
+    """Pipelined variant: submit(left, right) dispatches the jitted forward
+    and returns immediately; the PREVIOUS frame's result (now complete) is
+    post-processed and returned. One-frame latency, ~2x throughput when host
+    post-processing (point cloud) overlaps device compute.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._pending = None  # (device disparity, left_rgb, timestamp)
+
+    def submit(self, left_rgb: np.ndarray, right_rgb: np.ndarray,
+               timestamp: Optional[float] = None):
+        """Dispatch this frame; return the completed PREVIOUS frame's result
+        (None on the first call). Call flush() for the last frame."""
+        ts = time.time() if timestamp is None else timestamp
+        disp_dev = self._forward(
+            self._variables,
+            self._jnp.asarray(left_rgb[None], self._jnp.float32),
+            self._jnp.asarray(right_rgb[None], self._jnp.float32),
+        )
+        prev, self._pending = self._pending, (disp_dev, left_rgb, ts)
+        if prev is None:
+            return None
+        return self._finish(*prev)
+
+    def flush(self):
+        prev, self._pending = self._pending, None
+        return self._finish(*prev) if prev is not None else None
+
+    def _finish(self, disp_dev, left_rgb, ts):
+        disp = np.asarray(disp_dev)[0, ..., 0]
+        return self._postprocess(disp, left_rgb, ts)
+
+    def _postprocess(self, disp, left_rgb, ts):
+        cfg = self.config
+        import cv2 as cv
+
+        vs = 2 ** cfg.voxel_disp_scale
+        disp_v = cv.resize(disp, (disp.shape[1] // vs, disp.shape[0] // vs),
+                           interpolation=cv.INTER_LINEAR)
+        if self.on_disparity is not None:
+            if (time.time() - self._last_publish_disp_time) > (1.0 / cfg.publish_disp_hz):
+                from ..utils.visualization import apply_disparity_colormap
+
+                self.on_disparity(apply_disparity_colormap(disp_v),
+                                  cfg.voxel_disp_scale, ts)
+                self._last_publish_disp_time = time.time()
+        depth = disparity_to_depth(disp_v, self.k_voxel[0, 0],
+                                   cfg.stereo_baseline_meters, cfg.max_depth)
+        color_v = None
+        if cfg.publish_color_point_cloud:
+            color_v = cv.resize(left_rgb, (depth.shape[1], depth.shape[0]),
+                                interpolation=cv.INTER_LINEAR)
+        pts, cols = depth_to_pointcloud(depth, self.k_voxel, color_v)
+        pts, cols = voxel_downsample(pts, cfg.voxel_scale_meters, cols)
+        if self.on_pointcloud is not None:
+            self.on_pointcloud(pts, cols, ts)
+        return {"disparity": disp, "depth": depth, "points": pts, "colors": cols}
+
+
 def replay_dataset_stream(engine: StereoDepthEngine, dataset, num_frames: int = -1):
     """Dataset-backed test publisher (replaces ros/test_image_publisher.py):
     feeds dataset pairs through the engine sequentially."""

@@ -70,3 +70,41 @@ def test_stream_engine_end_to_end():
     assert out["colors"] is not None
     assert published["disp"] == 1 and published["cloud"] == 1
     assert engine.last_inference_sec is not None
+
+
+def test_async_engine_pipelines():
+    import jax
+    import jax.numpy as jnp
+
+    from adaptive_stereo_tpu.models import StereoModel
+    from adaptive_stereo_tpu.serving import AsyncStereoDepthEngine
+
+    h, w = 32, 64
+    cfg = ServingConfig(
+        model_input_height=h, model_input_width=w, stereonet_k=3, input_scale=0,
+        compute_dtype="float32", voxel_disp_scale=2,
+        camera_intrinsics=np.array([[50.0, 0, w / 2], [0, 50.0, h / 2], [0, 0, 1.0]]),
+    )
+    model = StereoModel(k=3, input_scale=0)
+    rng = np.random.RandomState(0)
+    frames = [(rng.rand(h, w, 3).astype(np.float32),
+               rng.rand(h, w, 3).astype(np.float32)) for _ in range(3)]
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(frames[0][0][None]),
+                           jnp.asarray(frames[0][1][None]), train=False)
+
+    engine = AsyncStereoDepthEngine(cfg, variables=variables)
+    results = []
+    for l, r in frames:
+        out = engine.submit(l, r)
+        if out is not None:
+            results.append(out)
+    results.append(engine.flush())
+    assert len(results) == 3
+    for out in results:
+        assert out["disparity"].shape == (h, w)
+        assert out["points"].shape[1] == 3
+
+    # Pipelined results match the synchronous engine frame-for-frame.
+    sync = StereoDepthEngine(cfg, variables=variables)
+    ref = sync.process(*frames[0])
+    np.testing.assert_allclose(ref["disparity"], results[0]["disparity"], atol=1e-5)
