@@ -165,3 +165,43 @@ def test_adapt_mode_none_never_updates(pretrained, roots, tmp_path):
     result = adapt(cfg, variables=variables)
     assert result["gradient_updates"] == 0
     assert result["final_state"] == "DONE"
+
+
+def test_adapt_vs_plateau_reaches_done_and_restarts(pretrained, roots, tmp_path):
+    """VS with a plateauing stream: the state machine must transition to DONE
+    (no further updates) and restart when a novel frame arrives while DONE
+    (reference adapt.py:111-120, 144-166)."""
+    import random as pyrandom
+
+    import jax
+    import jax.numpy as jnp
+
+    from adaptive_stereo_tpu.engine import (
+        State,
+        StateMachine,
+        make_ovs_validate_step,
+    )
+    from adaptive_stereo_tpu.models import StereoModel
+
+    variables, _ = pretrained
+    model = StereoModel(k=K, input_scale=S)
+    validate_fn = make_ovs_validate_step(model, S)
+    hs, ws = H // 2 ** S, W // 2 ** S
+    sm = StateMachine(State.IN_PROGRESS, ovs_buffer_size=2,
+                      validate_fn=validate_fn, pad_shape=(hs, ws),
+                      rng=pyrandom.Random(0))
+
+    img = jnp.asarray(np.random.RandomState(1).rand(1, hs, ws, 3), jnp.float32)
+    sm.add_to_ovs(img, img, 1.0, 0)
+    sm.add_to_ovs(img, img, 1.0, 1)
+
+    params, stats = variables["params"], variables["batch_stats"]
+    # First validation records a baseline loss (buffer changed -> IN_PROGRESS).
+    sm.validate(params, stats)
+    assert sm.transition(val_improve_retries=1) == State.IN_PROGRESS
+    # Weights unchanged -> identical loss, buffer unchanged -> DONE.
+    sm.validate(params, stats)
+    assert sm.transition(val_improve_retries=1) == State.DONE
+    # Novel frame while DONE -> restart, even if the reservoir declines it.
+    sm.add_to_ovs(img, img, 1.0, 0)  # duplicate index: not stored
+    assert sm.state() == State.IN_PROGRESS
