@@ -13,7 +13,8 @@ import numpy as np
 def time_stereonet(n: int = 100, height: int = 320, width: int = 1216,
                    k: int = 4, input_scale: int = 0,
                    compute_dtype: Optional[str] = "bfloat16",
-                   include_backprop: bool = True) -> Dict[str, float]:
+                   include_backprop: bool = True,
+                   batch_size: int = 1) -> Dict[str, float]:
     """Returns {'inference_sec', 'inference_hz', 'backprop_sec', 'backprop_hz'}."""
     import jax
     import jax.numpy as jnp
@@ -27,8 +28,8 @@ def time_stereonet(n: int = 100, height: int = 320, width: int = 1216,
 
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
     model = StereoModel(k=k, input_scale=input_scale, dtype=dtype)
-    left = jnp.zeros((1, height, width, 3), jnp.float32)
-    right = jnp.zeros((1, height, width, 3), jnp.float32)
+    left = jnp.zeros((batch_size, height, width, 3), jnp.float32)
+    right = jnp.zeros((batch_size, height, width, 3), jnp.float32)
     state = create_train_state(model, jax.random.PRNGKey(0), left, right, 1e-4)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
@@ -49,7 +50,7 @@ def time_stereonet(n: int = 100, height: int = 320, width: int = 1216,
     results: Dict[str, float] = {}
     t = run_timed(lambda: fwd(variables, left, right))
     results["inference_sec"] = t
-    results["inference_hz"] = 1.0 / t
+    results["inference_hz"] = batch_size / t
 
     if include_backprop:
         s = input_scale

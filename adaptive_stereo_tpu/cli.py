@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--compute_dtype", default="float32",
                         choices=["float32", "bfloat16"])
         sp.add_argument("--splits_root", default=None, type=str)
+        sp.add_argument("--train_splits_root", default=None, type=str,
+                        help="splits dir for the training-domain (replay) "
+                             "dataset; default: auto under its dataset root")
         # Adaptation options (accepted by both, used by adapt).
         sp.add_argument("--leftright_consistency", action="store_true", default=False)
         sp.add_argument("--smoothness_weight", type=float, default=1e-3)
@@ -88,6 +91,7 @@ def build_parser() -> argparse.ArgumentParser:
     tm.add_argument("--width", type=int, default=1216)
     tm.add_argument("--stereonet_k", type=int, default=4)
     tm.add_argument("--compute_dtype", default="bfloat16")
+    tm.add_argument("--batch_size", type=int, default=1)
     return p
 
 
@@ -133,7 +137,8 @@ def main(argv=None) -> int:
         from .analysis.timing import time_stereonet
 
         r = time_stereonet(n=opt.iterations, height=opt.height, width=opt.width,
-                           k=opt.stereonet_k, compute_dtype=opt.compute_dtype)
+                           k=opt.stereonet_k, compute_dtype=opt.compute_dtype,
+                           batch_size=opt.batch_size)
         print("-" * 67)
         print("-- Timing (inference only): %f sec (%f hz)"
               % (r["inference_sec"], r["inference_hz"]))
@@ -155,7 +160,8 @@ def main(argv=None) -> int:
         from .engine.adapt import adapt
 
         print("\nStarting adaptation ...")
-        adapt(cfg, splits_root=opt.splits_root)
+        adapt(cfg, splits_root=opt.splits_root,
+              train_splits_root=opt.train_splits_root)
         print("Done with adaptation!")
         return 0
 

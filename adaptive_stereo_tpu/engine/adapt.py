@@ -143,7 +143,8 @@ class StateMachine:
 
 
 def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
-          splits_root: Optional[str] = None) -> Dict:
+          splits_root: Optional[str] = None,
+          train_splits_root: Optional[str] = None) -> Dict:
     """Run online adaptation per the reference protocol (adapt.py:187-443).
 
     Args:
@@ -186,11 +187,17 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
     adapt_val_dataset = StereoDataset(dc.dataset_path, dc.dataset_name, dc.split,
                                       dc.height, dc.width, "val",
                                       load_disp_left=True, load_disp_right=False, **mk)
+    # The training-domain (replay / train-val) dataset lives under a
+    # DIFFERENT root than the adaptation stream; a shared splits_root
+    # override would resolve its split against the wrong tree, so it gets
+    # its own override (default: auto-resolve under its dataset root).
+    mk_train = dict(mk, splits_root=train_splits_root)
     train_val_dataset = StereoDataset(ac.train_dataset_path or dc.dataset_path,
                                       ac.train_dataset_name or dc.dataset_name,
                                       ac.train_split or dc.split,
                                       dc.height, dc.width, "val",
-                                      load_disp_left=True, load_disp_right=False, **mk)
+                                      load_disp_left=True, load_disp_right=False,
+                                      **mk_train)
 
     adapt_loader = BatchLoader(adapt_dataset, dc.batch_size, shuffle=False,
                                num_workers=dc.num_workers, seed=cfg.seed)

@@ -65,6 +65,7 @@ class _PlateauMachine:
 
 def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                     splits_root: Optional[str] = None,
+                    train_splits_root: Optional[str] = None,
                     log_chunk: int = 512, engine: str = "flat",
                     transfer_uint8: bool = False) -> Dict:
     """engine='flat' (default): minimal-dispatch-payload flat-state engine
@@ -104,11 +105,17 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
     adapt_val_dataset = StereoDataset(dc.dataset_path, dc.dataset_name, dc.split,
                                       dc.height, dc.width, "val",
                                       load_disp_left=True, load_disp_right=False, **mk)
+    # The training-domain (replay / train-val) dataset lives under a
+    # DIFFERENT root than the adaptation stream; a shared splits_root
+    # override would resolve its split against the wrong tree, so it gets
+    # its own override (default: auto-resolve under its dataset root).
+    mk_train = dict(mk, splits_root=train_splits_root)
     train_val_dataset = StereoDataset(ac.train_dataset_path or dc.dataset_path,
                                       ac.train_dataset_name or dc.dataset_name,
                                       ac.train_split or dc.split,
                                       dc.height, dc.width, "val",
-                                      load_disp_left=True, load_disp_right=False, **mk)
+                                      load_disp_left=True, load_disp_right=False,
+                                      **mk_train)
     adapt_loader = BatchLoader(adapt_dataset, dc.batch_size, shuffle=False,
                                num_workers=dc.num_workers, seed=cfg.seed)
     adapt_val_loader = BatchLoader(adapt_val_dataset, min(6, max(1, len(adapt_val_dataset))),

@@ -205,3 +205,24 @@ def test_adapt_vs_plateau_reaches_done_and_restarts(pretrained, roots, tmp_path)
     # Novel frame while DONE -> restart, even if the reservoir declines it.
     sm.add_to_ovs(img, img, 1.0, 0)  # duplicate index: not stored
     assert sm.state() == State.IN_PROGRESS
+
+
+def test_adapt_splits_root_override_keeps_train_domain_resolution(
+        pretrained, roots, tmp_path):
+    """Regression: an explicit --splits_root must apply only to the ADAPT
+    domain; the training-domain (replay) dataset resolves its own splits
+    under its dataset root (found via CLI end-to-end verification)."""
+    from adaptive_stereo_tpu.engine import adapt
+
+    variables, _ = pretrained
+    train_root, novel_root = roots
+    cfg = _cfg(train_root, str(tmp_path), "adapt_splitsroot",
+               adapt_mode="ER", num_steps=3, eval_hz=0,
+               train_dataset_path=train_root, train_dataset_name="Synthetic",
+               train_split="synth", skip_initial_eval=True)
+    cfg.data.dataset_path = novel_root
+    cfg.data.batch_size = 1
+
+    result = adapt(cfg, variables=variables,
+                   splits_root=os.path.join(novel_root, "splits"))
+    assert result["gradient_updates"] == 3
