@@ -55,15 +55,65 @@ class State(Enum):
     VALIDATION = 2    # Validating (no gradients) — used transiently.
 
 
+class _PriorityQueueOVS:
+    """Adapter exposing the reservoir interface over the bounded max-heap
+    (keeps the WORST-loss pairs). Framework-defined policy: the reference
+    builds the priority queue but never wires it (SURVEY §2 C11); here novel
+    frames always divert from the gradient update and heap admission is
+    decided by loss at commit time."""
+
+    def __init__(self, max_size: int):
+        from ..utils.stereo_priority_queue import StereoPriorityQueue
+
+        self._pq = StereoPriorityQueue(max_size, min_heap=False)
+        self.max_size = max_size
+
+    @property
+    def buf(self):
+        m = self._pq.multiplier
+        return [[m * it[0], it[1], it[2], it[3]] for it in self._pq.buf]
+
+    def add(self, img_l, img_r, value, img_index) -> bool:
+        return bool(self._pq.add(img_l, img_r, float(value), img_index))
+
+    def pre_decide(self, img_index):
+        from ..utils.stereo_reservoir import PreDecision
+
+        return PreDecision(add=True, slot=-1)
+
+    def commit(self, pre, img_l, img_r, value, img_index) -> bool:
+        return bool(self._pq.add(img_l, img_r, float(value), img_index))
+
+    def update_value(self, buf_index: int, new_value: float) -> None:
+        import heapq
+
+        self._pq.buf[buf_index][0] = self._pq.multiplier * float(new_value)
+        heapq.heapify(self._pq.buf)
+
+    def size(self) -> int:
+        return self._pq.size()
+
+    def average_value(self) -> float:
+        return self._pq.average_value()
+
+
 class StateMachine:
     """DONE/IN_PROGRESS state machine with an OVS reservoir
     (reference adapt.py:89-172)."""
 
     def __init__(self, initial_state: State, ovs_buffer_size: int,
-                 validate_fn, pad_shape, rng: Optional[random.Random] = None):
+                 validate_fn, pad_shape, rng: Optional[random.Random] = None,
+                 ovs_policy: str = "reservoir"):
         self.initial_state = initial_state
         self.current_state = initial_state
-        self.ovs = StereoReservoir(ovs_buffer_size, rng=rng)
+        if ovs_policy == "priority_queue":
+            # Alternative OVS policy: keep the WORST-loss pairs (max-heap on
+            # loss) instead of a uniform sample — the reference builds this
+            # buffer (utils/stereo_priority_queue.py) but never wires it in;
+            # here it is a first-class choice.
+            self.ovs = _PriorityQueueOVS(ovs_buffer_size)
+        else:
+            self.ovs = StereoReservoir(ovs_buffer_size, rng=rng)
         self.prev_ovs_loss = float("inf")
         self.ovs_did_change = True
         self.ovs_iters_without_improvement = 0

@@ -82,3 +82,51 @@ def test_cli_evaluate_save_and_playback(tmp_path):
     assert main(["evaluate", "--mode", "playback", "--output_folder", out2,
                  "--limit", "1"] + common) == 0
     assert os.path.exists(os.path.join(out2, "000000.png"))
+
+
+def test_cli_evaluate_video_mode(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from adaptive_stereo_tpu.cli import main
+    from adaptive_stereo_tpu.data import generate_synthetic_dataset
+    from adaptive_stereo_tpu.engine import create_train_state, save_checkpoint
+    from adaptive_stereo_tpu.models import StereoModel
+
+    root = str(tmp_path / "data")
+    generate_synthetic_dataset(root, name="synth", num_train=2, num_val=1,
+                               height=64, width=96, max_disp=12.0, seed=2)
+    model = StereoModel(k=3, input_scale=0)
+    dummy = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), dummy, dummy, 1e-4)
+    ckpt = save_checkpoint(str(tmp_path / "logs"), state, "t", {})
+
+    out = str(tmp_path / "video")
+    assert main(["evaluate", "--mode", "video", "--output_folder", out,
+                 "--limit", "1", "--height", "64", "--width", "96",
+                 "--stereonet_k", "3", "--stereonet_input_scale", "0",
+                 "--dataset_path", root, "--dataset_name", "Synthetic",
+                 "--split", "synth", "--splits_root", root + "/splits",
+                 "--load_weights_folder", ckpt]) == 0
+    assert os.path.exists(os.path.join(out, "frame_000000.png"))
+
+
+def test_experiments_presets_construct():
+    from adaptive_stereo_tpu.experiments import (
+        ADAPTATION_ENVIRONMENTS,
+        adaptation_config,
+        training_config,
+    )
+
+    for env in ADAPTATION_ENVIRONMENTS:
+        for method in ("nonstop", "vs", "er", "vs+er", "none"):
+            cfg = adaptation_config(env, method, dataset_paths={},
+                                    load_weights_folder="/w")
+            assert cfg.adapt.num_steps == 4000
+            assert cfg.model.k == 4 and cfg.data.height == 320
+            assert cfg.adapt.ovs_buffer_size == 16
+            # Only nonstop runs the pre-adaptation eval (reference
+            # preprocess_adapt_results.py:44-46 convention).
+            assert cfg.adapt.skip_initial_eval == (method != "nonstop")
+    t = training_config("SceneFlowFlying", "/data/sf")
+    assert t.data.do_hflip and t.optim.scheduler_step_size == 5

@@ -226,3 +226,35 @@ def test_adapt_splits_root_override_keeps_train_domain_resolution(
     result = adapt(cfg, variables=variables,
                    splits_root=os.path.join(novel_root, "splits"))
     assert result["gradient_updates"] == 3
+
+
+def test_priority_queue_ovs_policy(pretrained, roots):
+    """The PQ OVS policy keeps the worst-loss pairs and interoperates with
+    validation/transition (framework-defined wiring of reference C11)."""
+    import random as pyrandom
+
+    import jax.numpy as jnp
+
+    from adaptive_stereo_tpu.engine import State, StateMachine, make_ovs_validate_step
+    from adaptive_stereo_tpu.models import StereoModel
+
+    variables, _ = pretrained
+    model = StereoModel(k=K, input_scale=S)
+    validate_fn = make_ovs_validate_step(model, S)
+    hs, ws = H // 2 ** S, W // 2 ** S
+    sm = StateMachine(State.IN_PROGRESS, ovs_buffer_size=2,
+                      validate_fn=validate_fn, pad_shape=(hs, ws),
+                      rng=pyrandom.Random(0), ovs_policy="priority_queue")
+
+    img = jnp.zeros((1, hs, ws, 3), jnp.float32)
+    assert sm.add_to_ovs(img, img, 1.0, 0)
+    assert sm.add_to_ovs(img, img, 5.0, 1)
+    # Full: a WORSE (higher-loss) pair evicts the best; a better one is
+    # rejected.
+    assert sm.add_to_ovs(img, img, 9.0, 2)
+    assert not sm.add_to_ovs(img * 0.5, img, 0.1, 3)
+    values = sorted(item[0] for item in sm.ovs.buf)
+    assert values == [5.0, 9.0]
+    # Batched validation updates stored values and transition logic runs.
+    sm.validate(variables["params"], variables["batch_stats"])
+    assert sm.transition(val_improve_retries=1) in (State.IN_PROGRESS, State.DONE)
