@@ -10,7 +10,7 @@ The reference's only profiling is wall-clock prints (SURVEY.md §5). Here:
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import numpy as np
 

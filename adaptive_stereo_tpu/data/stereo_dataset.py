@@ -20,7 +20,6 @@ from __future__ import annotations
 import os
 import queue
 import random
-import threading
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

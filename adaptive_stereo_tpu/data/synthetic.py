@@ -18,8 +18,6 @@ emulate a novel domain for OOD/adaptation tests.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from .splits import write_split

@@ -272,6 +272,8 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
         er_loss_weight=ac.er_loss_weight, use_er=use_er, use_vs=use_vs,
         ood_threshold=ac.ood_threshold, fcs_ema_weight=ac.fcs_ema_weight,
         clip_grad_norm=oc.clip_grad_norm,
+        use_leftright=ac.leftright_consistency,
+        consistency_weight=ac.consistency_weight,
     )
     infer = make_infer_step(model, s, k, smoothness_weight=ac.smoothness_weight)
     eval_step = make_eval_step(model, s, k)

@@ -31,7 +31,7 @@ import numpy as np
 from flax import struct
 from jax.flatten_util import ravel_pytree
 
-from ..ops import feature_contrast_mean, khamis_robust_loss, monodepth_single_loss
+from ..ops import khamis_robust_loss, monodepth_single_loss
 from .device_reservoir import (
     DeviceReservoir,
     init_device_reservoir,

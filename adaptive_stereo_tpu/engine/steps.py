@@ -18,7 +18,7 @@ do not mutate them (reference adapt.py:309-314).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +28,7 @@ from ..ops import (
     feature_contrast_mean,
     khamis_robust_loss,
     khamis_robust_loss_multiscale,
+    monodepth_leftright_loss,
     monodepth_single_loss,
 )
 
@@ -270,6 +271,8 @@ def make_fused_adapt_step(
     ood_threshold: float = 15.0,
     fcs_ema_weight: float = 0.999,
     clip_grad_norm: bool = False,
+    use_leftright: bool = False,
+    consistency_weight: float = 1e-3,
 ):
     """The WHOLE adaptation step as ONE XLA program: forward + Monodepth loss
     + FCS + replay + backward + OOD gate + masked Adam update.
@@ -289,6 +292,13 @@ def make_fused_adapt_step(
     (one scalar sync per step, overlapped with device compute). This
     executable serves the IN_PROGRESS state; DONE uses make_infer_step.
 
+    use_leftright: the left-right consistency variant — the INTENT of the
+    reference's broken L-R path (predict both views via the flipped-batch
+    trick, adapt.py:40-62, with the fixed occlusion-masked loss
+    ops.monodepth_leftright_loss; the committed reference version is dead
+    code, see ops/losses.py). FCS comes from the left-centered half of the
+    batched cost volume.
+
     Returns step(state, ema, batch, er_batch, would_add_if_novel)
       -> (new_state, new_ema, aux) where ema = (value, initialized) and aux
       holds fcs_raw/fcs_smoothed/novel/did_add/losses/EPE scalars.
@@ -301,15 +311,39 @@ def make_fused_adapt_step(
         right = batch[f"color_r/{input_scale}"]
 
         def loss_fn(p):
-            outputs, mut = model.apply(
-                {"params": p, "batch_stats": state.batch_stats},
-                left, right, side="l", output_cost_volume=True, train=True,
-                mutable=["batch_stats"],
-            )
-            stats = mut["batch_stats"]
-            mono_loss, _ = monodepth_single_loss(
-                left, right, outputs[f"pred_disp_l/{input_scale}"], smoothness_weight
-            )
+            if use_leftright:
+                # Flipped-batch trick (reference adapt.py:47-58): one siamese
+                # forward predicts the left view and the mirrored right view.
+                flip = lambda x: x[:, :, ::-1, :]
+                left_b = jnp.concatenate([left, flip(right)], axis=0)
+                right_b = jnp.concatenate([right, flip(left)], axis=0)
+                outputs, mut = model.apply(
+                    {"params": p, "batch_stats": state.batch_stats},
+                    left_b, right_b, side="x", output_cost_volume=True, train=True,
+                    mutable=["batch_stats"],
+                )
+                stats = mut["batch_stats"]
+                both = outputs[f"pred_disp_x/{input_scale}"]
+                pred = both[0:1]
+                pred_r = flip(both[1:2])
+                mono_loss, _ = monodepth_leftright_loss(
+                    left, right, pred, pred_r,
+                    smoothness_weight, consistency_weight)
+                # Left-centered half of the batched cost volume drives FCS.
+                cv = outputs[f"cost_volume_x/{coarse}"][0:1]
+                fcs_raw_lr = jnp.mean(feature_contrast_mean(cv))
+            else:
+                outputs, mut = model.apply(
+                    {"params": p, "batch_stats": state.batch_stats},
+                    left, right, side="l", output_cost_volume=True, train=True,
+                    mutable=["batch_stats"],
+                )
+                stats = mut["batch_stats"]
+                pred = outputs[f"pred_disp_l/{input_scale}"]
+                mono_loss, _ = monodepth_single_loss(
+                    left, right, pred, smoothness_weight
+                )
+                fcs_raw_lr = None
             losses = {"Monodepth/total_loss": mono_loss}
             total = mono_loss
             if use_er:
@@ -327,8 +361,10 @@ def make_fused_adapt_step(
                 )
                 losses["Replay/total_loss"] = replay
                 total = total + er_loss_weight * replay
-            fcs_raw = mean_fcs_from_outputs(outputs, "l", coarse)
-            pred = outputs[f"pred_disp_l/{input_scale}"]
+            if fcs_raw_lr is not None:
+                fcs_raw = fcs_raw_lr
+            else:
+                fcs_raw = mean_fcs_from_outputs(outputs, "l", coarse)
             return total, (losses, stats, fcs_raw, pred)
 
         (_, (losses, new_stats, fcs_raw, pred)), grads = jax.value_and_grad(

@@ -28,14 +28,12 @@ Semantic deltas vs the reference protocol (all documented, all bounded):
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..ops import feature_contrast_mean, khamis_robust_loss, monodepth_single_loss
+from ..ops import khamis_robust_loss, monodepth_single_loss
 from .device_reservoir import (
     DeviceReservoir,
     init_device_reservoir,

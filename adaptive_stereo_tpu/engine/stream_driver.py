@@ -24,7 +24,7 @@ from ..data import BatchLoader, StereoDataset
 from ..models import StereoModel
 from ..utils.logging_utils import MetricsWriter, TrialsLog
 from .adapt import State
-from .checkpoint import load_variables, save_checkpoint
+from .checkpoint import load_variables
 from .config import ExperimentConfig
 from .evaluate import evaluate
 from .state import create_train_state

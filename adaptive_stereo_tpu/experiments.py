@@ -13,7 +13,6 @@ Usage:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Optional
 
 from .engine.config import (

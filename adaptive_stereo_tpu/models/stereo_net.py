@@ -28,7 +28,7 @@ Architectural quirks of the reference preserved intentionally:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax

@@ -24,7 +24,7 @@ XLA schedules the psum on ICI.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ jax.distributed.initialize before calling make_mesh.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -258,3 +258,24 @@ def test_priority_queue_ovs_policy(pretrained, roots):
     # Batched validation updates stored values and transition logic runs.
     sm.validate(variables["params"], variables["batch_stats"])
     assert sm.transition(val_improve_retries=1) in (State.IN_PROGRESS, State.DONE)
+
+
+def test_adapt_leftright_consistency_mode(pretrained, roots, tmp_path):
+    """The L-R consistency adaptation path (fixed intent of the reference's
+    broken one): both views predicted via the flipped-batch trick,
+    occlusion-masked photometric + consistency loss, FCS from the
+    left-centered cost volume."""
+    from adaptive_stereo_tpu.engine import adapt
+
+    variables, _ = pretrained
+    train_root, novel_root = roots
+    cfg = _cfg(train_root, str(tmp_path), "adapt_lr",
+               adapt_mode="NONSTOP", num_steps=6, eval_hz=6,
+               leftright_consistency=True, skip_initial_eval=True,
+               train_dataset_path=train_root, train_dataset_name="Synthetic",
+               train_split="synth")
+    cfg.data.dataset_path = novel_root
+    cfg.data.batch_size = 1
+    result = adapt(cfg, variables=variables)
+    assert result["gradient_updates"] == 6
+    assert np.isfinite(result["final_metrics"]["adapt"]["EPE"])
