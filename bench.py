@@ -51,7 +51,6 @@ def main():
     k, s, h, w = 4, 0, 320, 960
     dtype_name = "bfloat16"
     model = StereoModel(k=k, input_scale=s, dtype=jnp.bfloat16)
-    model_f32 = StereoModel(k=k, input_scale=s)
 
     rng = np.random.RandomState(0)
     left = jnp.asarray(rng.rand(1, h, w, 3), jnp.float32)
@@ -97,24 +96,16 @@ def main():
     t_adapt = min(block_times)
     adapt_fps = 1.0 / t_adapt
 
-    # --- forward-only (serving) fps, bf16 and f32 ---
+    # --- forward-only (serving) fps, bf16 ---
     fwd = jax.jit(
         lambda v, l, r: model.apply(v, l, r, side="l", output_cost_volume=True, train=False)
     )
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     t_fwd = _time_fn(fwd, variables, left, right)
 
-    state32 = create_train_state(model_f32, jax.random.PRNGKey(0), left, right, 5e-5)
-    fwd32 = jax.jit(
-        lambda v, l, r: model_f32.apply(v, l, r, side="l", output_cost_volume=True, train=False)
-    )
-    v32 = {"params": state32.params, "batch_stats": state32.batch_stats}
-    t_fwd32 = _time_fn(fwd32, v32, left, right)
-
     print(
         f"[bench] adapt_step {1e3*t_adapt:.2f} ms ({adapt_fps:.1f} steps/s) | "
         f"forward bf16 {1e3*t_fwd:.2f} ms ({1/t_fwd:.1f} fps) | "
-        f"forward f32 {1e3*t_fwd32:.2f} ms ({1/t_fwd32:.1f} fps) | "
         f"config 320x960 k={k} s={s} b=1 dtype={dtype_name}",
         file=sys.stderr,
     )
