@@ -80,7 +80,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     ev = sub.add_parser("evaluate", help="offline inference tooling")
     add_common(ev)
-    ev.add_argument("--mode", choices=["save", "playback", "video"], default="playback")
+    ev.add_argument("--mode", choices=["save", "playback", "video", "eval"],
+                    default="playback")
     ev.add_argument("--output_folder", type=str, default="eval_output")
     ev.add_argument("--limit", type=int, default=None)
     ev.add_argument("--subsplit", type=str, default="val")
@@ -181,6 +182,22 @@ def main(argv=None) -> int:
                                 cfg.data.split, cfg.data.height, cfg.data.width,
                                 opt.subsplit, scales=[s],
                                 load_disp_right=False, splits_root=opt.splits_root)
+        if opt.mode == "eval":
+            from .data import BatchLoader
+            from .engine.evaluate import evaluate as run_eval
+            from .engine.steps import make_eval_step
+
+            eval_ds = StereoDataset(cfg.data.dataset_path, cfg.data.dataset_name,
+                                    cfg.data.split, cfg.data.height, cfg.data.width,
+                                    opt.subsplit, scales=[s],
+                                    load_disp_right=False, splits_root=opt.splits_root)
+            loader = BatchLoader(eval_ds, max(1, cfg.data.batch_size), shuffle=False,
+                                 num_workers=cfg.data.num_workers)
+            metrics = run_eval(make_eval_step(model, s, cfg.model.k),
+                               variables["params"], variables["batch_stats"],
+                               loader, cfg.fast_eval)
+            print("EVAL    // " + " | ".join(f"{n}={v:.4f}" for n, v in sorted(metrics.items())))
+            return 0
         if opt.mode == "save":
             n = save_disparities(model, variables, dataset, opt.output_folder, s, opt.limit)
             print(f"Saved {n} disparity maps to {opt.output_folder}")

@@ -130,3 +130,31 @@ def test_experiments_presets_construct():
             assert cfg.adapt.skip_initial_eval == (method != "nonstop")
     t = training_config("SceneFlowFlying", "/data/sf")
     assert t.data.do_hflip and t.optim.scheduler_step_size == 5
+
+
+def test_cli_evaluate_eval_mode(tmp_path, capsys):
+    """The 'eval' mode (a stub in the reference, evaluate_model.py:121-122)
+    runs the full metrics contract and prints EPE/D1/FCS."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaptive_stereo_tpu.cli import main
+    from adaptive_stereo_tpu.data import generate_synthetic_dataset
+    from adaptive_stereo_tpu.engine import create_train_state, save_checkpoint
+    from adaptive_stereo_tpu.models import StereoModel
+
+    root = str(tmp_path / "data")
+    generate_synthetic_dataset(root, name="synth", num_train=2, num_val=2,
+                               height=64, width=96, max_disp=12.0, seed=3)
+    model = StereoModel(k=3, input_scale=0)
+    dummy = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), dummy, dummy, 1e-4)
+    ckpt = save_checkpoint(str(tmp_path / "logs"), state, "t", {})
+
+    assert main(["evaluate", "--mode", "eval", "--height", "64", "--width", "96",
+                 "--stereonet_k", "3", "--stereonet_input_scale", "0",
+                 "--dataset_path", root, "--dataset_name", "Synthetic",
+                 "--split", "synth", "--splits_root", root + "/splits",
+                 "--load_weights_folder", ckpt, "--batch_size", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "EPE=" in out and "D1_all_3px=" in out and "FCS=" in out

@@ -176,3 +176,52 @@ def test_parallel_train_step_matches_single_device(setup):
     # the delta cosine is well below 1 even though the losses agree — assert
     # it is strongly positive.
     assert cos > 0.5, cos
+
+
+def test_fleet_adapt_improves_shared_model(setup):
+    """Fleet adaptation must actually LEARN: 4 streams of a shifted domain
+    adapting a pretrained shared model reduce the Monodepth loss."""
+    from adaptive_stereo_tpu.data import generate_synthetic_dataset, StereoDataset
+    from adaptive_stereo_tpu.engine import create_train_state, make_infer_step, train
+    from adaptive_stereo_tpu.engine import (
+        AdaptConfig, DataConfig, ExperimentConfig, ModelConfig, OptimConfig,
+    )
+    import tempfile
+
+    model, _, mesh, _ = setup
+    work = tempfile.mkdtemp()
+    generate_synthetic_dataset(f"{work}/train", name="synth", num_train=6,
+                               num_val=2, height=H * 2, width=W * 2,
+                               max_disp=12.0, seed=10)
+    generate_synthetic_dataset(f"{work}/novel", name="synth", num_train=16,
+                               num_val=2, height=H * 2, width=W * 2,
+                               max_disp=12.0, seed=60, domain_shift=True)
+
+    cfg = ExperimentConfig(
+        model_name="fleet_pre", log_dir=f"{work}/logs", num_epochs=6,
+        log_frequency=1000, save_freq=100,
+        model=ModelConfig(k=K, input_scale=S),
+        optim=OptimConfig(learning_rate=1e-4, scheduler_step_size=1000),
+        data=DataConfig(dataset_path=f"{work}/train", dataset_name="Synthetic",
+                        split="synth", height=H * 2, width=W * 2, batch_size=2,
+                        num_workers=2))
+    state = train(cfg)["state"]
+
+    novel = StereoDataset(f"{work}/novel", "Synthetic", "synth", H * 2, W * 2,
+                          "train", scales=[S])
+    streams = [FleetStream(dataset=novel, name=f"cam{i}") for i in range(4)]
+
+    # Pre-adaptation Monodepth loss on one novel frame.
+    infer = make_infer_step(model, S, K)
+    item = novel[0]
+    batch = {k_: jnp.asarray(v)[None] for k_, v in item.items()}
+    aux0, _ = infer(state.params, state.batch_stats, batch)
+
+    result = fleet_adapt(model, state, streams, S, K, num_steps=5,
+                         adapt_mode="NONSTOP", mesh=make_mesh(4),
+                         clip_grad_norm=True)
+    s1 = result["state"]
+    aux1, _ = infer(s1.params, s1.batch_stats, batch)
+    l0, l1 = float(aux0["Monodepth/total_loss"]), float(aux1["Monodepth/total_loss"])
+    assert l1 < l0, (l0, l1)
+    assert all(st["gradient_updates"] == 5 for st in result["streams"])
