@@ -266,6 +266,12 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
 
     use_er = ac.adapt_mode in ("ER", "VS+ER")
     use_vs = ac.adapt_mode not in ("NONSTOP", "ER", "NONE")
+    if use_vs and dc.batch_size != 1:
+        # The OVS stores per-FRAME pairs; all published configurations
+        # (experiments/adaptation/*.sh) use batch_size=1, and the reference's
+        # own >1 behavior (a whole batch stored as one reservoir entry) has
+        # no meaningful semantics. Fail loudly instead of silently diverging.
+        raise ValueError("VS adaptation modes require batch_size=1")
 
     fused_step = make_fused_adapt_step(
         model, s, k, smoothness_weight=ac.smoothness_weight,

@@ -170,6 +170,50 @@ def export_feature_net_state_dict(params: dict, stats: dict, k: int) -> Dict[str
     return sd
 
 
+def export_stereo_net_state_dict(params: dict, stats: dict) -> Dict[str, np.ndarray]:
+    """Inverse of import_stereo_net_state_dict: flax -> reference torch
+    state-dict names (strict-loadable; dead conv2 tensors zero-filled)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_bn(prefix_bn, p, st):
+        sd[f"{prefix_bn}.weight"] = np.asarray(p["bn"]["scale"])
+        sd[f"{prefix_bn}.bias"] = np.asarray(p["bn"]["bias"])
+        sd[f"{prefix_bn}.running_mean"] = np.asarray(st["bn"]["mean"])
+        sd[f"{prefix_bn}.running_var"] = np.asarray(st["bn"]["var"])
+        sd[f"{prefix_bn}.num_batches_tracked"] = np.asarray(0)
+
+    for i in range(4):
+        p, st = params[f"filter_{i}"], stats[f"filter_{i}"]
+        sd[f"filter.{i}.0.0.weight"] = _inv_conv3d(p["conv"]["kernel"])
+        sd[f"filter.{i}.0.0.bias"] = np.asarray(p["conv"]["bias"])
+        put_bn(f"filter.{i}.0.1", p, st)
+    sd["conv3d_alone.weight"] = _inv_conv3d(params["conv3d_alone"]["kernel"])
+    sd["conv3d_alone.bias"] = np.asarray(params["conv3d_alone"]["bias"])
+
+    ref = "edge_aware_refinements.0"
+    rp, rs = params["refinement_0"], stats["refinement_0"]
+    sd[f"{ref}.conv2d_feature.0.0.weight"] = _inv_conv2d(rp["conv2d_feature"]["conv"]["kernel"])
+    sd[f"{ref}.conv2d_feature.0.0.bias"] = np.asarray(rp["conv2d_feature"]["conv"]["bias"])
+    put_bn(f"{ref}.conv2d_feature.0.1", rp["conv2d_feature"], rs["conv2d_feature"])
+    for i in range(6):
+        bp, bs = rp[f"astrous_{i}"], rs[f"astrous_{i}"]
+        pre = f"{ref}.residual_astrous_blocks.{i}"
+        sd[f"{pre}.conv1.0.0.weight"] = _inv_conv2d(bp["conv1"]["conv"]["kernel"])
+        sd[f"{pre}.conv1.0.0.bias"] = np.asarray(bp["conv1"]["conv"]["bias"])
+        put_bn(f"{pre}.conv1.0.1", bp["conv1"], bs["conv1"])
+        c = bp["conv1"]["conv"]["kernel"].shape[-1]
+        sd[f"{pre}.conv2.0.weight"] = np.zeros((c, c, 3, 3), np.float32)
+        sd[f"{pre}.conv2.0.bias"] = np.zeros((c,), np.float32)
+        sd[f"{pre}.conv2.1.weight"] = np.ones((c,), np.float32)
+        sd[f"{pre}.conv2.1.bias"] = np.zeros((c,), np.float32)
+        sd[f"{pre}.conv2.1.running_mean"] = np.zeros((c,), np.float32)
+        sd[f"{pre}.conv2.1.running_var"] = np.ones((c,), np.float32)
+        sd[f"{pre}.conv2.1.num_batches_tracked"] = np.asarray(0)
+    sd[f"{ref}.conv2d_out.weight"] = _inv_conv2d(rp["conv2d_out"]["kernel"])
+    sd[f"{ref}.conv2d_out.bias"] = np.asarray(rp["conv2d_out"]["bias"])
+    return sd
+
+
 def load_reference_checkpoint(folder: str, k: int) -> Dict[str, dict]:
     """Load `feature_net.pth` + `stereo_net.pth` from a reference weights
     folder into variables for models.StereoModel:

@@ -132,3 +132,23 @@ def test_feature_net_state_dict_round_trip():
     ref2 = RefFeatureNet(3)
     ref2.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
                           for k, v in sd1.items()}, strict=True)
+
+
+def test_stereo_net_state_dict_round_trip():
+    from adaptive_stereo_tpu.models.torch_import import (
+        export_stereo_net_state_dict,
+        import_stereo_net_state_dict,
+    )
+
+    torch.manual_seed(12)
+    ref = RefStereoNet(3, 1, 1, maxdisp=192)
+    sd0 = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = import_stereo_net_state_dict(sd0)
+    sd1 = export_stereo_net_state_dict(params, stats)
+    for key, v0 in sd0.items():
+        if ".conv2." in key:
+            continue
+        np.testing.assert_array_equal(v0, sd1[key], err_msg=key)
+    ref2 = RefStereoNet(3, 1, 1, maxdisp=192)
+    ref2.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
+                          for k, v in sd1.items()}, strict=True)
