@@ -77,6 +77,8 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
     cost of re-quantizing the resized pyramid colors (<=0.5/255 noise; the
     source images are 8-bit anyway)."""
     mc, ac, dc, oc = cfg.model, cfg.adapt, cfg.data, cfg.optim
+    # The ring must cover the longest possible gap between drains.
+    log_chunk = max(log_chunk, 2 * cfg.log_frequency, 2 * max(ac.ovs_validate_hz, 1))
     s, k = mc.input_scale, mc.k
     log_path = os.path.join(cfg.log_dir, cfg.model_name)
     os.makedirs(log_path, exist_ok=True)
