@@ -130,6 +130,12 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
 
     use_er = ac.adapt_mode in ("ER", "VS+ER")
     use_vs = ac.adapt_mode not in ("NONSTOP", "ER", "NONE")
+    if ac.leftright_consistency:
+        raise NotImplementedError(
+            "left-right consistency is served by the classic engine "
+            "(engine.adapt.adapt); the streaming engines are single-sided")
+    if use_vs and dc.batch_size != 1:
+        raise ValueError("VS adaptation modes require batch_size=1")
 
     step_kwargs = dict(
         smoothness_weight=ac.smoothness_weight,
