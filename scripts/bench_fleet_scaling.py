@@ -34,7 +34,18 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     a = p.parse_args()
 
+    # Force an n-device virtual CPU mesh BEFORE backend init (env-only
+    # configuration is unreliable in this environment — see PERFORMANCE.md).
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={max(a.sizes)}"
+        ).strip()
+
     import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from adaptive_stereo_tpu.engine import create_train_state
