@@ -12,6 +12,14 @@ import os
 from typing import List
 
 
+def default_splits_root() -> str:
+    """The vendored reference split manifests at the repo root (splits/)."""
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "splits",
+    )
+
+
 def read_lines(filename: str) -> List[str]:
     with open(filename, "r") as f:
         return f.read().splitlines()

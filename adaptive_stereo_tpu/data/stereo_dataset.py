@@ -25,7 +25,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from .loaders import get_disp_loader
-from .splits import read_lines, split_lines_path
+from .splits import default_splits_root, read_lines, split_lines_path
 
 
 def _resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -82,10 +82,9 @@ class StereoDataset:
         if splits_root is None:
             splits_root = os.path.join(dataset_path, "splits")
             if not os.path.isdir(os.path.join(splits_root, split)):
-                # Fall back to a repo-level splits directory.
-                splits_root = os.path.join(
-                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "splits"
-                )
+                # Fall back to the vendored repo-level splits directory (the
+                # reference's committed split manifests — splits/README.md).
+                splits_root = default_splits_root()
         self.lines = read_lines(split_lines_path(splits_root, split, subsplit))
         self.load_disp_fn = get_disp_loader(dataset_name)
 
@@ -114,8 +113,21 @@ class StereoDataset:
         crop = lambda x: None if x is None else np.ascontiguousarray(x[sl])
         return crop(rgb_l), crop(rgb_r), crop(disp_l), crop(disp_r)
 
+    def _resolve(self, p: str) -> str:
+        # The vendored KITTI-raw manifests carry the original author's
+        # absolute paths (/home/milo/datasets/kitti_data_raw/...); rebase any
+        # absolute prefix up to and including the dataset directory onto our
+        # dataset_path (reference keeps them absolute — stereo_dataset.py:85-87).
+        if os.path.isabs(p) and not p.startswith(self.dataset_path):
+            marker = "/datasets/"
+            if marker in p:
+                rel = p.split(marker, 1)[1]          # "<dsname>/<rel path>"
+                rel = rel.split("/", 1)[1] if "/" in rel else rel
+                return os.path.join(self.dataset_path, rel)
+        return os.path.join(self.dataset_path, p)
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        paths = [os.path.join(self.dataset_path, p) for p in self.lines[index].split(" ")]
+        paths = [self._resolve(p) for p in self.lines[index].split(" ")]
         rgb_l_path, rgb_r_path, disp_l_path, disp_r_path = paths
 
         rgb_l = _load_rgb(rgb_l_path)
