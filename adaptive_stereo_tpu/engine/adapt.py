@@ -34,7 +34,7 @@ import numpy as np
 from ..data import BatchLoader, StereoDataset
 from ..models import StereoModel
 from ..ops import online_ema
-from ..utils.logging_utils import MetricsWriter, TrialsLog
+from ..utils.logging_utils import MetricsWriter, TrialsLog, write_opt_json
 from ..utils.stereo_reservoir import StereoReservoir
 from .checkpoint import load_variables, save_checkpoint
 from .config import ExperimentConfig
@@ -46,6 +46,7 @@ from .steps import (
     make_fused_adapt_step,
     make_infer_step,
     make_ovs_validate_step,
+    make_viz_step,
 )
 
 
@@ -208,9 +209,7 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
     mc, ac, dc, oc = cfg.model, cfg.adapt, cfg.data, cfg.optim
     s, k = mc.input_scale, mc.k
     log_path = os.path.join(cfg.log_dir, cfg.model_name)
-    os.makedirs(log_path, exist_ok=True)
-    with open(os.path.join(log_path, "opt.json"), "w") as f:
-        f.write(cfg.to_json() + "\n")
+    write_opt_json(log_path, cfg)
 
     rng = random.Random(cfg.seed)
     np.random.seed(cfg.seed)
@@ -283,11 +282,13 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
     )
     infer = make_infer_step(model, s, k, smoothness_weight=ac.smoothness_weight)
     eval_step = make_eval_step(model, s, k)
+    viz_step = make_viz_step(model, s) if cfg.log_images else None
     validate_fn = make_ovs_validate_step(model, s, smoothness_weight=ac.smoothness_weight)
 
     initial_state = State.DONE if ac.adapt_mode == "NONE" else State.IN_PROGRESS
     hs, ws = dc.height // 2 ** s, dc.width // 2 ** s
-    sm = StateMachine(initial_state, ac.ovs_buffer_size, validate_fn, (hs, ws), rng=rng)
+    sm = StateMachine(initial_state, ac.ovs_buffer_size, validate_fn, (hs, ws),
+                      rng=rng, ovs_policy=ac.ovs_policy)
 
     trials = TrialsLog(os.path.join(log_path, "trials.csv"))
 
@@ -354,10 +355,16 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
                     did_add_to_ovs = sm.commit_novel(
                         pre, batch[f"color_l/{s}"], batch[f"color_r/{s}"],
                         float(aux["Monodepth/total_loss"]), batch_idx)
-                if did_add_to_ovs:
-                    print("[ ADAPT ] Skipping gradient update because image was added to OVS.")
-                else:
+                # Count what the DEVICE actually did: the fused step masks the
+                # Adam update with the pre-drawn add decision, so a novel frame
+                # skips its update even when the buffer later declines to store
+                # it (possible under ovs_policy='priority_queue'; the reservoir
+                # pre-draw always matches its commit).
+                if bool(aux["do_update"]):
                     gradient_updates += 1
+                else:
+                    print("[ ADAPT ] Skipping gradient update because image "
+                          "was diverted to the OVS.")
             else:
                 aux, _pred = infer(state.params, state.batch_stats, batch)
                 fcs_raw = float(aux["fcs_raw"])
@@ -384,6 +391,9 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
                 losses = {n: float(v) for n, v in aux.items() if "loss" in n}
                 adapt_writer.log_scalars(metrics, losses,
                                          dc.batch_size / max(elapsed, 1e-9), epoch, step)
+                if viz_step is not None:
+                    outputs = viz_step(state.params, state.batch_stats, batch)
+                    adapt_writer.log_images(batch, outputs, step)
 
             step += 1
 

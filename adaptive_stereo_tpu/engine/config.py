@@ -59,6 +59,11 @@ class AdaptConfig:
     adapt_mode: str = "VS+ER"      # NONSTOP | VS | ER | VS+ER | NONE
     num_steps: int = -1
     ovs_buffer_size: int = 10
+    # 'reservoir' (reference behavior) | 'priority_queue' (keep worst-loss
+    # pairs; the reference builds this buffer but never wires it — SURVEY §2
+    # C11; under it a novel frame always diverts from the gradient update
+    # even when the heap rejects the pair).
+    ovs_policy: str = "reservoir"
     ovs_validate_hz: int = 100
     val_improve_retries: int = 1
     eval_hz: int = 1000
@@ -87,6 +92,10 @@ class ExperimentConfig:
     save_freq: int = 1
     fast_eval: bool = False
     seed: int = 123
+    # TensorBoard image panels (reference train.py:44-71) at the scalar-log
+    # cadence. Off by default on the streaming path: each panel dump is a
+    # full-image device readback.
+    log_images: bool = True
 
     model: ModelConfig = field(default_factory=ModelConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)

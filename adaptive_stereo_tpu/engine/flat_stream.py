@@ -113,15 +113,27 @@ def make_flat_streaming_steps(
     fcs_ema_weight: float = 0.999,
     clip_grad_norm: bool = False,
     images_uint8: bool = False,
+    fused_er_forward: bool = False,
 ):
     """Returns (adapt_step, done_step, validate_step) over FlatStreamState.
 
     adapt_step(ss, left, right, gt, er_left, er_right, er_gt, frame_idx)
       — all image args are single (1,H,W,3)/(1,H,W,1) buffers (7 leaves
       total), uint8-transferable with images_uint8=True.
+
+    fused_er_forward: run the stream frame and the replay frame as ONE
+      batch-2 siamese forward instead of two sequential batch-1 forwards.
+      Same losses and gradients up to BatchNorm batching: batch statistics
+      are computed over both frames jointly and running stats update once
+      per step (the reference runs two sequential batch-1 train-mode
+      forwards, adapt.py:327-349). Documented deviation; substantially
+      better MXU utilization on the latency-bound streaming path.
     """
     coarse = input_scale + k
     s = input_scale
+    # Static disparity bound for the warp's banded one-hot matmul
+    # (ops/warp.py): model maxdisp expressed at the loss scale.
+    warp_max_disp = -(-model.maxdisp // 2 ** input_scale)
 
     def dec(img):
         if images_uint8:
@@ -168,6 +180,29 @@ def make_flat_streaming_steps(
         def loss_fn(theta):
             params = spec.unravel_params(theta)
             stats = spec.unravel_bn(ss.bn)
+            if use_er and fused_er_forward:
+                # ONE batch-2 siamese forward: [stream frame; replay frame].
+                left_b = jnp.concatenate([left, dec(er_left_u)], axis=0)
+                right_b = jnp.concatenate([right, dec(er_right_u)], axis=0)
+                outputs, mut = model.apply(
+                    {"params": params, "batch_stats": stats},
+                    left_b, right_b, side="l", output_cost_volume=True,
+                    train=True, mutable=["batch_stats"],
+                )
+                stats = mut["batch_stats"]
+                pred_b = outputs[f"pred_disp_l/{s}"]
+                mono, _ = monodepth_single_loss(
+                    left, right, pred_b[0:1], smoothness_weight,
+                    max_disp=warp_max_disp)
+                replay = khamis_robust_loss(pred_b[1:2], er_gt)
+                total = mono + er_loss_weight * replay
+                # Stream-frame half of the batched cost volume drives FCS.
+                fcs_outputs = {
+                    key: v[0:1] for key, v in outputs.items()}
+                fcs_raw = mean_fcs_from_outputs(fcs_outputs, "l", coarse)
+                bn_flat, _ = ravel_pytree(stats)
+                return total, (mono, replay, bn_flat, fcs_raw, pred_b[0:1])
+
             outputs, mut = model.apply(
                 {"params": params, "batch_stats": stats},
                 left, right, side="l", output_cost_volume=True, train=True,
@@ -175,7 +210,8 @@ def make_flat_streaming_steps(
             )
             stats = mut["batch_stats"]
             mono, _ = monodepth_single_loss(
-                left, right, outputs[f"pred_disp_l/{s}"], smoothness_weight)
+                left, right, outputs[f"pred_disp_l/{s}"], smoothness_weight,
+                max_disp=warp_max_disp)
             total = mono
             replay = jnp.zeros(())
             if use_er:
@@ -228,7 +264,8 @@ def make_flat_streaming_steps(
              "batch_stats": spec.unravel_bn(ss.bn)},
             left, right, side="l", output_cost_volume=True, train=False)
         pred = outputs[f"pred_disp_l/{s}"]
-        mono, _ = monodepth_single_loss(left, right, pred, smoothness_weight)
+        mono, _ = monodepth_single_loss(left, right, pred, smoothness_weight,
+                                        max_disp=warp_max_disp)
         fcs_raw = mean_fcs_from_outputs(outputs, "l", coarse)
         epe = _epe(pred, gt)
 
@@ -259,7 +296,8 @@ def make_flat_streaming_steps(
 
         def per_item(l, r, p):
             loss, _ = monodepth_single_loss(l[None], r[None], p[None],
-                                            smoothness_weight)
+                                            smoothness_weight,
+                                            max_disp=warp_max_disp)
             return loss
 
         losses = jax.vmap(per_item)(res.left, res.right, pred)

@@ -135,6 +135,22 @@ def make_eval_step(model, input_scale: int, k: int):
     return eval_step
 
 
+def make_viz_step(model, input_scale: int):
+    """Eval-mode forward returning the raw output dict — feeds the
+    TensorBoard image panels (reference train.py:44-71 log_images). Compiled
+    lazily on first use, so runs with image logging disabled pay nothing."""
+
+    @jax.jit
+    def viz_step(params, batch_stats, batch):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch[f"color_l/{input_scale}"], batch[f"color_r/{input_scale}"],
+            side="l", output_cost_volume=False, train=False,
+        )
+
+    return viz_step
+
+
 def make_adapt_forward_backward(
     model,
     input_scale: int,
@@ -152,6 +168,9 @@ def make_adapt_forward_backward(
     sequential torch forwards).
     """
     coarse = input_scale + k
+    # Static disparity bound for the warp's banded one-hot matmul
+    # (ops/warp.py): model maxdisp expressed at the loss scale.
+    warp_max_disp = -(-model.maxdisp // 2 ** input_scale)
 
     @jax.jit
     def fwd_bwd(params, batch_stats, batch, er_batch):
@@ -166,7 +185,8 @@ def make_adapt_forward_backward(
             )
             stats = mut["batch_stats"]
             mono_loss, _warped = monodepth_single_loss(
-                left, right, outputs[f"pred_disp_l/{input_scale}"], smoothness_weight
+                left, right, outputs[f"pred_disp_l/{input_scale}"], smoothness_weight,
+                max_disp=warp_max_disp,
             )
             losses = {"Monodepth/total_loss": mono_loss}
             total = mono_loss
@@ -210,6 +230,9 @@ def make_infer_step(
     """Eval-mode stream step for the DONE state (reference adapt.py:309-311):
     forward + Monodepth loss + FCS, no gradients, no BN mutation."""
     coarse = input_scale + k
+    # Static disparity bound for the warp's banded one-hot matmul
+    # (ops/warp.py): model maxdisp expressed at the loss scale.
+    warp_max_disp = -(-model.maxdisp // 2 ** input_scale)
 
     @jax.jit
     def infer(params, batch_stats, batch):
@@ -220,7 +243,8 @@ def make_infer_step(
             left, right, side="l", output_cost_volume=True, train=False,
         )
         pred = outputs[f"pred_disp_l/{input_scale}"]
-        mono_loss, _ = monodepth_single_loss(left, right, pred, smoothness_weight)
+        mono_loss, _ = monodepth_single_loss(left, right, pred, smoothness_weight,
+                                             max_disp=warp_max_disp)
         aux = {
             "Monodepth/total_loss": mono_loss,
             "fcs_raw": mean_fcs_from_outputs(outputs, "l", coarse),
@@ -304,6 +328,9 @@ def make_fused_adapt_step(
       holds fcs_raw/fcs_smoothed/novel/did_add/losses/EPE scalars.
     """
     coarse = input_scale + k
+    # Static disparity bound for the warp's banded one-hot matmul
+    # (ops/warp.py): model maxdisp expressed at the loss scale.
+    warp_max_disp = -(-model.maxdisp // 2 ** input_scale)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, ema, batch, er_batch, would_add_if_novel):
@@ -328,7 +355,8 @@ def make_fused_adapt_step(
                 pred_r = flip(both[1:2])
                 mono_loss, _ = monodepth_leftright_loss(
                     left, right, pred, pred_r,
-                    smoothness_weight, consistency_weight)
+                    smoothness_weight, consistency_weight,
+                    max_disp=warp_max_disp)
                 # Left-centered half of the batched cost volume drives FCS.
                 cv = outputs[f"cost_volume_x/{coarse}"][0:1]
                 fcs_raw_lr = jnp.mean(feature_contrast_mean(cv))
@@ -341,7 +369,8 @@ def make_fused_adapt_step(
                 stats = mut["batch_stats"]
                 pred = outputs[f"pred_disp_l/{input_scale}"]
                 mono_loss, _ = monodepth_single_loss(
-                    left, right, pred, smoothness_weight
+                    left, right, pred, smoothness_weight,
+                    max_disp=warp_max_disp
                 )
                 fcs_raw_lr = None
             losses = {"Monodepth/total_loss": mono_loss}
@@ -426,6 +455,7 @@ def make_ovs_validate_step(model, input_scale: int, smoothness_weight: float = 1
     """Recompute the Monodepth loss for every OVS pair in ONE batched
     eval-mode forward (the reference loops per-image, adapt.py:122-142).
     Returns a (N,) vector of per-pair losses."""
+    warp_max_disp = -(-model.maxdisp // 2 ** input_scale)
 
     @jax.jit
     def validate(params, batch_stats, left_stack, right_stack):
@@ -436,7 +466,8 @@ def make_ovs_validate_step(model, input_scale: int, smoothness_weight: float = 1
         pred = outputs[f"pred_disp_l/{input_scale}"]
 
         def per_item(l, r, p):
-            loss, _ = monodepth_single_loss(l[None], r[None], p[None], smoothness_weight)
+            loss, _ = monodepth_single_loss(l[None], r[None], p[None], smoothness_weight,
+                                            max_disp=warp_max_disp)
             return loss
 
         return jax.vmap(per_item)(left_stack, right_stack, pred)

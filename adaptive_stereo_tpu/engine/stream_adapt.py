@@ -94,6 +94,9 @@ def make_streaming_steps(
     """
     coarse = input_scale + k
     s = input_scale
+    # Static disparity bound for the warp's banded one-hot matmul
+    # (ops/warp.py): model maxdisp expressed at the loss scale.
+    warp_max_disp = -(-model.maxdisp // 2 ** input_scale)
 
     def gate_and_log(ss, losses, fcs_raw, epe, left, right, frame_idx,
                      mono_loss):
@@ -130,7 +133,8 @@ def make_streaming_steps(
             )
             stats = mut["batch_stats"]
             mono, _ = monodepth_single_loss(
-                left, right, outputs[f"pred_disp_l/{s}"], smoothness_weight)
+                left, right, outputs[f"pred_disp_l/{s}"], smoothness_weight,
+                max_disp=warp_max_disp)
             total = mono
             replay = jnp.zeros(())
             if use_er:
@@ -190,7 +194,8 @@ def make_streaming_steps(
             {"params": train.params, "batch_stats": train.batch_stats},
             left, right, side="l", output_cost_volume=True, train=False)
         pred = outputs[f"pred_disp_l/{s}"]
-        mono, _ = monodepth_single_loss(left, right, pred, smoothness_weight)
+        mono, _ = monodepth_single_loss(left, right, pred, smoothness_weight,
+                                        max_disp=warp_max_disp)
         fcs_raw = mean_fcs_from_outputs(outputs, "l", coarse)
         gt_key = f"gt_disp_l/{s}"
         epe = _epe(pred, batch[gt_key]) if gt_key in batch else jnp.zeros(())
@@ -221,7 +226,8 @@ def make_streaming_steps(
 
         def per_item(l, r, p):
             loss, _ = monodepth_single_loss(l[None], r[None], p[None],
-                                            smoothness_weight)
+                                            smoothness_weight,
+                                            max_disp=warp_max_disp)
             return loss
 
         losses = jax.vmap(per_item)(res.left, res.right, pred)

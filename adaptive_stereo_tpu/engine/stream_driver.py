@@ -22,7 +22,7 @@ import numpy as np
 
 from ..data import BatchLoader, StereoDataset
 from ..models import StereoModel
-from ..utils.logging_utils import MetricsWriter, TrialsLog
+from ..utils.logging_utils import MetricsWriter, TrialsLog, write_opt_json
 from .adapt import State
 from .checkpoint import load_variables
 from .config import ExperimentConfig
@@ -67,7 +67,8 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                     splits_root: Optional[str] = None,
                     train_splits_root: Optional[str] = None,
                     log_chunk: int = 512, engine: str = "flat",
-                    transfer_uint8: bool = False) -> Dict:
+                    transfer_uint8: bool = False,
+                    fused_er_forward: bool = False) -> Dict:
     """engine='flat' (default): minimal-dispatch-payload flat-state engine
     (engine/flat_stream.py) — fastest on remote-dispatch TPUs.
     engine='pytree': the structured stream engine (engine/stream_adapt.py).
@@ -81,9 +82,7 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
     log_chunk = max(log_chunk, 2 * cfg.log_frequency, 2 * max(ac.ovs_validate_hz, 1))
     s, k = mc.input_scale, mc.k
     log_path = os.path.join(cfg.log_dir, cfg.model_name)
-    os.makedirs(log_path, exist_ok=True)
-    with open(os.path.join(log_path, "opt.json"), "w") as f:
-        f.write(cfg.to_json() + "\n")
+    write_opt_json(log_path, cfg)
 
     model = StereoModel(
         k=k, input_scale=s, maxdisp=mc.maxdisp,
@@ -155,7 +154,8 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
             train_state.params, train_state.batch_stats, oc.learning_rate,
             ac.ovs_buffer_size, hs, ws, log_chunk, seed=cfg.seed)
         f_adapt, f_done, validate_step = make_flat_streaming_steps(
-            model, spec, s, k, images_uint8=transfer_uint8, **step_kwargs)
+            model, spec, s, k, images_uint8=transfer_uint8,
+            fused_er_forward=fused_er_forward, **step_kwargs)
 
         def current_variables(ss):
             return flat_state_to_variables(ss, spec)

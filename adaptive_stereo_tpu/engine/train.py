@@ -17,12 +17,12 @@ import numpy as np
 
 from ..data import BatchLoader, StereoDataset
 from ..models import StereoModel
-from ..utils.logging_utils import MetricsWriter
+from ..utils.logging_utils import MetricsWriter, write_opt_json
 from .checkpoint import load_variables, save_checkpoint
 from .config import ExperimentConfig
 from .evaluate import evaluate
 from .state import create_train_state
-from .steps import make_eval_step, make_train_step
+from .steps import make_eval_step, make_train_step, make_viz_step
 
 
 def train(cfg: ExperimentConfig, variables: Optional[dict] = None,
@@ -30,9 +30,7 @@ def train(cfg: ExperimentConfig, variables: Optional[dict] = None,
     mc, dc, oc = cfg.model, cfg.data, cfg.optim
     s, k = mc.input_scale, mc.k
     log_path = os.path.join(cfg.log_dir, cfg.model_name)
-    os.makedirs(log_path, exist_ok=True)
-    with open(os.path.join(log_path, "opt.json"), "w") as f:
-        f.write(cfg.to_json() + "\n")
+    write_opt_json(log_path, cfg)
 
     np.random.seed(cfg.seed)
 
@@ -69,6 +67,7 @@ def train(cfg: ExperimentConfig, variables: Optional[dict] = None,
     writer = MetricsWriter(os.path.join(log_path, "val"))
     train_step = make_train_step(model, state.tx, s, loss_scales, oc.clip_grad_norm)
     eval_step = make_eval_step(model, s, k)
+    viz_step = make_viz_step(model, s) if cfg.log_images else None
 
     step = 0
     metrics: Dict = {}
@@ -88,6 +87,9 @@ def train(cfg: ExperimentConfig, variables: Optional[dict] = None,
                                    val_loader, cfg.fast_eval)
                 writer.log_scalars(metrics, losses, dc.batch_size / max(elapsed, 1e-9),
                                    epoch, step)
+                if viz_step is not None:
+                    outputs = viz_step(state.params, state.batch_stats, batch)
+                    writer.log_images(batch, outputs, step)
             step += 1
 
         if epoch >= 1 and (epoch % cfg.save_freq) == 0:

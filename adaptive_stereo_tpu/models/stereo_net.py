@@ -268,13 +268,23 @@ class StereoNet(nn.Module):
 
 class StereoModel(nn.Module):
     """Convenience wrapper running the siamese feature tower on both views and
-    the StereoNet head — one jittable forward (reference train.py:19-22)."""
+    the StereoNet head — one jittable forward (reference train.py:19-22).
+
+    fused_siamese: run left+right through the feature tower as ONE stacked
+    batch-2B forward instead of two sequential batch-B forwards. Identical
+    math except BatchNorm batching: batch statistics are computed over both
+    views jointly and running stats update once (the reference runs two
+    sequential forwards, train.py:19-21). Better MXU utilization on the
+    latency-bound batch-1 streaming path; documented deviation, off by
+    default for parity.
+    """
 
     k: int
     input_scale: int = 0
     maxdisp: int = 192
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
+    fused_siamese: bool = False
 
     def setup(self):
         self.feature_net = FeatureExtractorNetwork(self.k, self.dtype)
@@ -283,6 +293,12 @@ class StereoModel(nn.Module):
 
     def __call__(self, left_img, right_img, side: str = "l",
                  output_cost_volume: bool = False, train: bool = True):
-        fl = self.feature_net(left_img, train)
-        fr = self.feature_net(right_img, train)
+        if self.fused_siamese:
+            b = left_img.shape[0]
+            both = jnp.concatenate([left_img, right_img], axis=0)
+            f = self.feature_net(both, train)
+            fl, fr = f[:b], f[b:]
+        else:
+            fl = self.feature_net(left_img, train)
+            fr = self.feature_net(right_img, train)
         return self.stereo_net(left_img, fl, fr, side, output_cost_volume, train)

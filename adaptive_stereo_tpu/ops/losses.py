@@ -23,7 +23,7 @@ All functions take NHWC tensors; disparity maps are (B, H, W, 1).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,13 +60,27 @@ def khamis_robust_loss_multiscale(
     return losses
 
 
+def _banded_mean_matrix(n: int, dtype) -> jnp.ndarray:
+    """(n, n) matrix averaging each element with its <=2 in-range neighbors
+    divided by 3 (zero contribution outside the border)."""
+    i = jnp.arange(n)
+    return (jnp.abs(i[:, None] - i[None, :]) <= 1).astype(dtype) / 3.0
+
+
 def _avg_pool_3x3_include_pad(x: jnp.ndarray) -> jnp.ndarray:
     """3x3 stride-1 average pool, zero-padded, dividing by 9 everywhere
-    (torch avg_pool2d count_include_pad=True semantics). NHWC."""
-    s = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
-    )
-    return s / 9.0
+    (torch avg_pool2d count_include_pad=True semantics). NHWC.
+
+    Computed as two separable banded matmuls instead of lax.reduce_window:
+    TPU reduce-window is a slow VPU path (0.9 ms per pool at 320x960 in the
+    round-2 adapt-step trace); the banded matmul runs on the MXU with exact
+    f32 precision and an identical zero-pad /9 contract."""
+    a_h = _banded_mean_matrix(x.shape[1], x.dtype)
+    a_w = _banded_mean_matrix(x.shape[2], x.dtype)
+    hp = jnp.einsum("hi,biwc->bhwc", a_h, x,
+                    precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("wj,bhjc->bhwc", a_w, hp,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def ssim(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -129,14 +143,20 @@ def monodepth_single_loss(
     right_img: jnp.ndarray,
     pred_disp_l: jnp.ndarray,
     smoothness_weight: float = 1e-3,
+    max_disp: Optional[int] = None,
 ):
     """Single-sided adaptation loss (reference adapt.py:78-86): warp the right
     image to the left view with the left disparity, photometric loss, masked
     mean over the warp validity mask.
 
+    max_disp: optional static disparity bound forwarded to the warp's banded
+    one-hot matmul (see ops/warp.py) — engines pass the model's maxdisp at
+    the loss scale.
+
     Returns (scalar loss, left_warped image).
     """
-    left_warped, mask = linear_warp(right_img, pred_disp_l, right_to_left=True)
+    left_warped, mask = linear_warp(right_img, pred_disp_l, right_to_left=True,
+                                    max_disp=max_disp)
     l_total = monodepth_loss(pred_disp_l, left_img, left_warped, smoothness_weight)[0]
     m = mask.astype(l_total.dtype)
     loss = jnp.sum(l_total * m) / jnp.maximum(jnp.sum(m), 1.0)
@@ -150,6 +170,7 @@ def monodepth_leftright_loss(
     pred_disp_r: jnp.ndarray,
     smoothness_weight: float = 1e-3,
     consistency_weight: float = 1e-3,
+    max_disp: Optional[int] = None,
 ):
     """Left-right consistency Monodepth loss — the evident intent of reference
     loss_functions.py:141-190 (whose committed version is dead code; see module
@@ -157,14 +178,18 @@ def monodepth_leftright_loss(
 
     Returns (scalar loss, dict of warped outputs).
     """
-    warped_disp_l, _ = linear_warp(pred_disp_r, pred_disp_l, right_to_left=True)
-    warped_disp_r, _ = linear_warp(pred_disp_l, pred_disp_r, right_to_left=False)
+    warped_disp_l, _ = linear_warp(pred_disp_r, pred_disp_l, right_to_left=True,
+                                   max_disp=max_disp)
+    warped_disp_r, _ = linear_warp(pred_disp_l, pred_disp_r, right_to_left=False,
+                                   max_disp=max_disp)
 
     occ_mask_l = (pred_disp_l >= 0.95 * warped_disp_l)
     occ_mask_r = (pred_disp_r >= 0.95 * warped_disp_r)
 
-    left_warped, left_mask = linear_warp(right_img, pred_disp_l, right_to_left=True)
-    right_warped, right_mask = linear_warp(left_img, pred_disp_r, right_to_left=False)
+    left_warped, left_mask = linear_warp(right_img, pred_disp_l, right_to_left=True,
+                                         max_disp=max_disp)
+    right_warped, right_mask = linear_warp(left_img, pred_disp_r, right_to_left=False,
+                                           max_disp=max_disp)
 
     mask_l = jax.lax.stop_gradient((occ_mask_l & left_mask).astype(left_img.dtype))
     mask_r = jax.lax.stop_gradient((occ_mask_r & right_mask).astype(left_img.dtype))

@@ -14,15 +14,31 @@ were produced with this sampling, so we reproduce it exactly rather than
 "fixing" it. The validity mask is u, v in [-1, 1], i.e. 0 <= x -/+ disp <= W
 (the y condition is always true).
 
-TPU-first implementation: the vertical half-pixel shift is a constant, so the
-warp factorizes into (a) a fixed 2-row average along H and (b) a per-pixel
-1-D bilinear gather along W implemented with take_along_axis — no 2-D
-grid_sample needed. Both steps are XLA-fusable and differentiable w.r.t. both
-the image and the disparity.
+TPU-first implementation: the vertical half-pixel shift is a constant 2-row
+average along H; the per-pixel horizontal bilinear sample is a GATHER, and
+TPU has no fast gather — XLA lowers take_along_axis to a serialized custom
+fusion measured at 11.3 ms per call at 320x960 (adapt-step trace, round 2).
+Instead the sample is expressed as a banded ONE-HOT MATMUL: the bilinear
+weight row relu(1 - |px - xi|) has <= 2 nonzeros, so
+
+    warped(x) = sum_xi relu(1 - |px(x) - xi|) * img_v(xi)
+
+exactly reproduces (1-wx)*img(x0) + wx*img(x1) including the border clamp
+(px is pre-clipped to [0, W-1]). The xi axis is restricted to a static band
+of width block + max_disp + 2 around each output block, and the contraction
+runs on the MXU with Precision.HIGHEST (exact f32: measured max |diff| vs
+the gather path 1.2e-7; 4.3x faster fwd+bwd at 320x960).
+
+Both formulations are exposed: implementation="onehot" (default) and
+"gather" (the take_along_axis path, used as the cross-check oracle).
 """
 
 from __future__ import annotations
 
+from functools import partial
+from typing import Optional
+
+import jax
 import jax.numpy as jnp
 
 
@@ -33,10 +49,82 @@ def _vertical_halfpixel_blur(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([img[:, :1, :, :], avg], axis=1)
 
 
+def _sample_coords(disp, w, right_to_left, dtype):
+    """Un-normalized grid_sample source coordinates and validity mask."""
+    x = jnp.arange(w, dtype=dtype)
+    if right_to_left:
+        sample_x = x[None, None, :] - disp.astype(dtype)
+    else:
+        sample_x = x[None, None, :] + disp.astype(dtype)
+    # Validity before the half-pixel shift, matching the reference mask
+    # (linear_warping.py:54-55): -1 <= 2*sample_x/W - 1 <= 1.
+    valid = (sample_x >= 0.0) & (sample_x <= w)
+    px = jnp.clip(sample_x - 0.5, 0.0, w - 1.0)
+    return px, valid
+
+
+def _warp_gather(img_v, px, w):
+    """take_along_axis formulation (slow on TPU; exact oracle)."""
+    b, h, _, c = img_v.shape
+    x0 = jnp.floor(px)
+    wx = px - x0
+    x0i = x0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    x0g = jnp.broadcast_to(x0i[..., None], (b, h, w, c))
+    x1g = jnp.broadcast_to(x1i[..., None], (b, h, w, c))
+    left_px = jnp.take_along_axis(img_v, x0g, axis=2)
+    right_px = jnp.take_along_axis(img_v, x1g, axis=2)
+    return left_px + wx[..., None] * (right_px - left_px)
+
+
+def _warp_onehot(img_v, px, w, max_disp, right_to_left):
+    """Banded one-hot matmul formulation (MXU; exact in f32)."""
+    b, h, _, c = img_v.shape
+    dtype = img_v.dtype
+
+    if max_disp is None or max_disp >= w:
+        # Full-width band: one block spanning all of W — exact for ANY
+        # disparity value (including > max_disp), no padding needed.
+        xi = jnp.arange(w, dtype=dtype)
+        m = jnp.maximum(1.0 - jnp.abs(px[..., None] - xi), 0.0)
+        return jnp.einsum("bhxi,bhic->bhxc", m, img_v,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    d = int(max_disp)
+    # Source-column bounds for an output column x (px pre-clipped to
+    # [0, W-1], disparity in [0, d]):
+    #   right_to_left: px in [x-d-0.5, x-0.5] -> taps in [x-d-1, x]
+    #   left_to_right: px in [x-0.5, x+d-0.5] -> taps in [x-1, x+d]
+    lo = d + 1 if right_to_left else 1
+    hi = 1 if right_to_left else d + 1
+    blk = 64
+    nb = -(-w // blk)
+    wp = nb * blk
+    band = blk + lo + hi
+
+    imgp = jnp.pad(img_v, ((0, 0), (0, 0), (lo, band), (0, 0)), mode="edge")
+    # Overlapping source windows: window k covers source columns
+    # [k*blk - lo, k*blk - lo + band).
+    win_idx = (jnp.arange(nb) * blk)[:, None] + jnp.arange(band)[None, :]
+    win = imgp[:, :, win_idx, :]                       # (B, H, nb, band, C)
+
+    pxp = jnp.pad(px, ((0, 0), (0, 0), (0, wp - w)), constant_values=-2.0)
+    pxb = pxp.reshape(b, h, nb, blk)
+    src = (jnp.arange(band, dtype=dtype) - lo)[None, :] + \
+        (jnp.arange(nb, dtype=dtype) * blk)[:, None]   # (nb, band)
+    m = jnp.maximum(
+        1.0 - jnp.abs(pxb[..., None] - src[None, None, :, None, :]), 0.0)
+    out = jnp.einsum("bhnxi,bhnic->bhnxc", m, win,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(b, h, wp, c)[:, :, :w, :]
+
+
 def linear_warp(
     img: jnp.ndarray,
     positive_disp: jnp.ndarray,
     right_to_left: bool = True,
+    max_disp: Optional[int] = None,
+    implementation: str = "onehot",
 ):
     """Warp `img` horizontally by a positive disparity map.
 
@@ -50,6 +138,14 @@ def linear_warp(
       positive_disp: (B, H, W) or (B, H, W, 1) disparity map.
       right_to_left: direction flag; True means `positive_disp` is
         left-centered.
+      max_disp: optional static disparity bound. When given, the one-hot
+        matmul restricts its source band to max_disp+2 columns per output
+        block (less memory traffic); disparities are clamped to
+        [0, max_disp] first, which diverges from torch grid_sample only for
+        predictions beyond the model's stated maximum. None = full-width
+        band, exact for any disparity.
+      implementation: "onehot" (banded one-hot matmul, MXU, default) or
+        "gather" (take_along_axis oracle; slow on TPU).
 
     Returns:
       (warped, valid_mask): warped is (B, H, W, C); valid_mask is (B, H, W, 1)
@@ -62,30 +158,21 @@ def linear_warp(
     b, h, w, c = img.shape
     dtype = jnp.promote_types(img.dtype, jnp.float32)
 
-    x = jnp.arange(w, dtype=dtype)
-    if right_to_left:
-        sample_x = x[None, None, :] - disp.astype(dtype)
-    else:
-        sample_x = x[None, None, :] + disp.astype(dtype)
-
-    # Validity before the half-pixel shift, matching the reference mask
-    # (linear_warping.py:54-55): -1 <= 2*sample_x/W - 1 <= 1.
-    valid = (sample_x >= 0.0) & (sample_x <= w)
-
-    # grid_sample(align_corners=False) un-normalization + border clamp.
-    px = jnp.clip(sample_x - 0.5, 0.0, w - 1.0)
-    x0 = jnp.floor(px)
-    wx = px - x0
-    x0i = x0.astype(jnp.int32)
-    x1i = jnp.minimum(x0i + 1, w - 1)
+    px, valid = _sample_coords(disp, w, right_to_left, dtype)
+    if max_disp is not None:
+        # Keep sources inside the static band (documented divergence for
+        # out-of-contract disparities; the mask still uses unclamped coords).
+        if right_to_left:
+            x = jnp.arange(w, dtype=dtype)[None, None, :]
+            px = jnp.maximum(px, jnp.maximum(x - max_disp - 0.5, 0.0))
+        else:
+            x = jnp.arange(w, dtype=dtype)[None, None, :]
+            px = jnp.minimum(px, jnp.minimum(x + max_disp - 0.5, w - 1.0))
 
     img_v = _vertical_halfpixel_blur(img.astype(dtype))
-
-    # Per-pixel 1-D gather along W. take_along_axis wants matching rank.
-    x0g = jnp.broadcast_to(x0i[..., None], (b, h, w, c))
-    x1g = jnp.broadcast_to(x1i[..., None], (b, h, w, c))
-    left_px = jnp.take_along_axis(img_v, x0g, axis=2)
-    right_px = jnp.take_along_axis(img_v, x1g, axis=2)
-    warped = left_px + wx[..., None] * (right_px - left_px)
+    if implementation == "gather":
+        warped = _warp_gather(img_v, px, w)
+    else:
+        warped = _warp_onehot(img_v, px, w, max_disp, right_to_left)
 
     return warped.astype(img.dtype), valid[..., None]

@@ -6,10 +6,42 @@ adapt.py:175-184,247-271 (trials.csv accumulation with trial resume).
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Dict, Optional
+import subprocess
+from typing import Dict, Iterable, Optional
 
 import numpy as np
+
+
+def git_sha(default: str = "unknown") -> str:
+    """Current repo commit hash for run provenance (reference train.py:149-152
+    uses gitpython; a subprocess keeps this dependency-free)."""
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        sha = out.stdout.strip()
+        return sha if out.returncode == 0 and sha else default
+    except Exception:
+        return default
+
+
+def write_opt_json(log_path: str, cfg) -> dict:
+    """Dump the run configuration + git commit hash to <log_path>/opt.json
+    (reference train.py:149-160: opt.commit_hash = sha; json dump)."""
+    d = json.loads(cfg.to_json())
+    d["commit_hash"] = git_sha()
+    os.makedirs(log_path, exist_ok=True)
+    with open(os.path.join(log_path, "opt.json"), "w") as f:
+        f.write(json.dumps(d, sort_keys=True, indent=2) + "\n")
+    return d
+
+
+def _contains_prefix(name: str, prefixes: Iterable[str]) -> bool:
+    return any(p in name for p in prefixes)
 
 
 class MetricsWriter:
@@ -32,6 +64,33 @@ class MetricsWriter:
     def add_image(self, name: str, img_hwc: np.ndarray, step: int) -> None:
         if self._writer is not None:
             self._writer.add_image(name, np.moveaxis(img_hwc, -1, 0), step)
+
+    def log_images(self, inputs: Dict, outputs: Dict, step: int,
+                   skip_prefixes: Iterable[str] = ("cost_volume", "fcs")) -> None:
+        """Colorized disparity / raw RGB panels for the first batch element
+        (reference train.py:54-71 log_images): keys containing 'disp' get the
+        per-image-normalized colormap; other image-shaped entries go through
+        raw; cost volumes are skipped."""
+        if self._writer is None:
+            return
+        from .visualization import apply_disparity_colormap
+
+        for io in (inputs, outputs):
+            for name, v in io.items():
+                if _contains_prefix(name, skip_prefixes):
+                    continue
+                arr = np.asarray(v[0], np.float32)  # first batch element
+                if arr.ndim != 3:
+                    continue
+                if "disp" in name:
+                    viz = apply_disparity_colormap(arr)
+                else:
+                    viz = np.clip(arr, 0.0, 1.0)
+                    if viz.shape[-1] == 1:
+                        viz = np.repeat(viz, 3, axis=-1)
+                    elif viz.shape[-1] != 3:
+                        continue
+                self.add_image(name, viz, step)
 
     def log_scalars(self, metrics: Dict, losses: Dict, examples_per_sec: float,
                     epoch: int, step: int) -> None:

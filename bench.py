@@ -50,7 +50,10 @@ def main():
 
     k, s, h, w = 4, 0, 320, 960
     dtype_name = "bfloat16"
-    model = StereoModel(k=k, input_scale=s, dtype=jnp.bfloat16)
+    # fused_siamese: one batch-2 feature-tower forward per view pair; with
+    # the fused ER forward below, the extractor runs at batch 4 per step.
+    model = StereoModel(k=k, input_scale=s, dtype=jnp.bfloat16,
+                        fused_siamese=True)
 
     rng = np.random.RandomState(0)
     left = jnp.asarray(rng.rand(1, h, w, 3), jnp.float32)
@@ -74,7 +77,7 @@ def main():
         state.params, state.batch_stats, 5e-5, 16, h, w, 64, seed=0)
     fused = make_flat_streaming_steps(
         model, spec, s, k, use_er=True, use_vs=True,
-        ood_threshold=12.76, clip_grad_norm=True)
+        ood_threshold=12.76, clip_grad_norm=True, fused_er_forward=True)
     adapt_step = fused[0]
     idx = jnp.asarray(0, jnp.int32)
 

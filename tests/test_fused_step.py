@@ -100,3 +100,37 @@ def test_fused_ema_chains(setup):
     s2, ema, aux2 = fused(s1, ema, batch, batch, jnp.asarray(False))
     expected = 0.9 * float(aux1["fcs_smoothed"]) + 0.1 * float(aux2["fcs_raw"])
     assert float(aux2["fcs_smoothed"]) == pytest.approx(expected, rel=1e-5)
+
+
+def test_fused_siamese_feature_tower_eval_exact(setup):
+    """fused_siamese=True matches in eval mode to conv-retiling noise (BN
+    uses running stats, so batching left+right changes nothing semantically;
+    XLA tiles the batch-2 convolutions differently -> ~1e-7 wobble) and
+    produces matching predictions in train mode up to BN batching."""
+    model, state, batch = setup
+    fused_model = StereoModel(k=K, input_scale=S, fused_siamese=True)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    left, right = batch[f"color_l/{S}"], batch[f"color_r/{S}"]
+    out_a = model.apply(variables, left, right, side="l",
+                        output_cost_volume=True, train=False)
+    out_b = fused_model.apply(variables, left, right, side="l",
+                              output_cost_volume=True, train=False)
+    for key in out_a:
+        np.testing.assert_allclose(np.asarray(out_a[key]),
+                                   np.asarray(out_b[key]),
+                                   atol=1e-4, rtol=1e-4, err_msg=key)
+
+    # Train mode: same keys, finite outputs, close predictions (batch stats
+    # now mix the two views — documented deviation).
+    out_c, _ = fused_model.apply(variables, left, right, side="l",
+                                 output_cost_volume=True, train=True,
+                                 mutable=["batch_stats"])
+    pred_a, _ = model.apply(variables, left, right, side="l",
+                            output_cost_volume=True, train=True,
+                            mutable=["batch_stats"])
+    # Untrained random BN makes train-mode batch statistics the dominant
+    # term; predictions still agree to ~10% relative.
+    np.testing.assert_allclose(np.asarray(out_c[f"pred_disp_l/{S}"]),
+                               np.asarray(pred_a[f"pred_disp_l/{S}"]),
+                               rtol=0.15, atol=1.0)

@@ -176,6 +176,57 @@ def test_flat_step_matches_pytree_step(env):
                                atol=1e-5)
 
 
+def test_flat_step_fused_er_forward(env):
+    """The batch-2 siamese ER forward produces the same losses and nearly the
+    same update as the two-sequential-forward path — differing only through
+    BatchNorm batching (documented deviation in flat_stream.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaptive_stereo_tpu.engine import create_train_state
+    from adaptive_stereo_tpu.engine.flat_stream import (
+        init_flat_stream_state, make_flat_streaming_steps)
+    from adaptive_stereo_tpu.models import StereoModel
+
+    _, _, variables = env
+    model = StereoModel(k=K, input_scale=S)
+    rng = np.random.RandomState(3)
+    left = jnp.asarray(rng.rand(1, H, W, 3), np.float32)
+    right = jnp.asarray(rng.rand(1, H, W, 3), np.float32)
+    gt = jnp.asarray(rng.rand(1, H, W, 1) * 8, np.float32)
+    er_left = jnp.asarray(rng.rand(1, H, W, 3), np.float32)
+    er_right = jnp.asarray(rng.rand(1, H, W, 3), np.float32)
+    er_gt = jnp.asarray(rng.rand(1, H, W, 1) * 8, np.float32)
+    ts = create_train_state(model, jax.random.PRNGKey(0), left, left, 3e-4,
+                            variables=variables)
+
+    idx = jnp.asarray(0, jnp.int32)
+    results = {}
+    for fused in (False, True):
+        fss, spec = init_flat_stream_state(ts.params, ts.batch_stats, 3e-4,
+                                           4, H, W, 16, seed=1)
+        step, _, _ = make_flat_streaming_steps(
+            model, spec, S, K, use_er=True, use_vs=False,
+            clip_grad_norm=True, fused_er_forward=fused)
+        out = step(fss, left, right, gt, er_left, er_right, er_gt, idx)
+        results[fused] = (np.asarray(out.log[0]), np.asarray(out.theta))
+
+    log_seq, theta_seq = results[False]
+    log_fused, theta_fused = results[True]
+    # Monodepth + replay losses agree to BN-batching noise.
+    np.testing.assert_allclose(log_fused[2], log_seq[2], rtol=0.05)  # mono
+    np.testing.assert_allclose(log_fused[3], log_seq[3], rtol=0.05)  # replay
+    # Both applied a gradient update, in a consistent direction.
+    d1 = theta_seq - np.asarray(init_flat_stream_state(
+        ts.params, ts.batch_stats, 3e-4, 4, H, W, 16, seed=1)[0].theta)
+    d2 = theta_fused - (theta_seq - d1)
+    cos = float(np.dot(d1, d2) / (np.linalg.norm(d1) * np.linalg.norm(d2) + 1e-12))
+    # Step-1 Adam updates are elementwise sign(g); joint-batch BN statistics
+    # perturb near-zero gradient entries enough to flip their signs, so the
+    # update cosine sits well below 1 even though the losses agree to <5%.
+    assert cos > 0.5, cos
+
+
 def test_streaming_vs_mode_gates_and_validates(env, tmp_path):
     from adaptive_stereo_tpu.engine import adapt_streaming
 
