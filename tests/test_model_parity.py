@@ -152,3 +152,64 @@ def test_stereo_net_state_dict_round_trip():
     ref2 = RefStereoNet(3, 1, 1, maxdisp=192)
     ref2.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
                           for k, v in sd1.items()}, strict=True)
+
+
+@pytest.mark.slow
+def test_forward_parity_eval_full_paper_resolution():
+    """Forward parity at the PAPER configuration — 320x960, k=4, s=0
+    (experiments/adaptation/adapt_vs_er.sh) — where the refinement/upsample
+    paths traverse the full interpolation extents (VERDICT r1 item 3a).
+    Batch 1, eval mode, imported torch weights."""
+    k, input_scale, h, w = 4, 0, 320, 960
+    ref_feat, ref_stereo, variables, left, right = _build_pair(
+        k, input_scale, h, w)
+    left, right = left[:1], right[:1]
+    ref_out = _ref_forward(ref_feat, ref_stereo, left, right, train=False)
+
+    model = StereoModel(k=k, input_scale=input_scale)
+    ours = model.apply(
+        variables, jnp.asarray(left), jnp.asarray(right),
+        side="l", output_cost_volume=True, train=False,
+    )
+    for key, ref_t in ref_out.items():
+        ref_np = ref_t.numpy()
+        mine = np.asarray(ours[key])
+        if key.startswith("pred_disp"):
+            mine = np.moveaxis(mine, -1, 1)
+        np.testing.assert_allclose(
+            ref_np, mine, atol=5e-3, rtol=1e-4,
+            err_msg=f"full-res mismatch for output {key}",
+        )
+
+
+@pytest.mark.slow
+def test_bf16_vs_f32_disparity_delta_full_resolution():
+    """Quantify the bfloat16-compute disparity delta at the paper resolution
+    (VERDICT r1 item 3b / ROADMAP item 4): same imported weights, same input,
+    dtype=bfloat16 vs float32 forwards; the refined disparity must stay
+    within a sub-pixel envelope of the f32 path."""
+    k, input_scale, h, w = 4, 0, 320, 960
+    _, _, variables, left, right = _build_pair(k, input_scale, h, w)
+    left, right = left[:1], right[:1]
+
+    preds = {}
+    for name, dtype in (("f32", None), ("bf16", jnp.bfloat16)):
+        model = StereoModel(k=k, input_scale=input_scale, dtype=dtype)
+        out = model.apply(
+            variables, jnp.asarray(left), jnp.asarray(right),
+            side="l", output_cost_volume=False, train=False,
+        )
+        preds[name] = np.asarray(out[f"pred_disp_l/{input_scale}"],
+                                 np.float32)
+
+    delta = np.abs(preds["bf16"] - preds["f32"])
+    mean_d, p99_d, max_d = (float(delta.mean()),
+                            float(np.percentile(delta, 99)),
+                            float(delta.max()))
+    print(f"\n[bf16-delta @320x960 k=4] mean={mean_d:.4f}px "
+          f"p99={p99_d:.4f}px max={max_d:.4f}px "
+          f"(disp range {preds['f32'].min():.2f}..{preds['f32'].max():.2f})")
+    # Random-weight disparities span ~tens of px; bf16 wobble must stay
+    # sub-pixel in the mean and low single-pixel at the tail.
+    assert mean_d < 0.5, mean_d
+    assert p99_d < 2.0, p99_d
