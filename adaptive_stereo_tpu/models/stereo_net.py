@@ -211,6 +211,10 @@ class StereoNet(nn.Module):
     maxdisp: int = 192
     dtype: Optional[Dtype] = None
     use_pallas: bool = False  # Pallas kernels for cost volume + soft-argmin/FCS
+    # Space-to-depth refinement tower (models/s2d_refinement.py): identical
+    # parameter tree and math (up to float reassociation), ~2x faster on TPU
+    # where C=32 activations waste 75% of the vector lanes.
+    s2d_refinement: bool = False
 
     @nn.compact
     def __call__(
@@ -260,9 +264,14 @@ class StereoNet(nn.Module):
         outputs[f"pred_disp_{side}/{coarse_scale}"] = (2 ** self.k) * resize_bilinear(
             pred[..., None], (h, w)
         )
-        outputs[f"pred_disp_{side}/{self.input_scale}"] = EdgeAwareRefinement(
-            self.dtype, name="refinement_0"
-        )(pred, left_img, train)
+        if self.s2d_refinement:
+            from .s2d_refinement import EdgeAwareRefinementS2D
+
+            refinement = EdgeAwareRefinementS2D(self.dtype, name="refinement_0")
+        else:
+            refinement = EdgeAwareRefinement(self.dtype, name="refinement_0")
+        outputs[f"pred_disp_{side}/{self.input_scale}"] = refinement(
+            pred, left_img, train)
         return outputs
 
 
@@ -285,11 +294,13 @@ class StereoModel(nn.Module):
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
     fused_siamese: bool = False
+    s2d_refinement: bool = False
 
     def setup(self):
         self.feature_net = FeatureExtractorNetwork(self.k, self.dtype)
         self.stereo_net = StereoNet(self.k, 1, self.input_scale, self.maxdisp,
-                                    self.dtype, self.use_pallas)
+                                    self.dtype, self.use_pallas,
+                                    self.s2d_refinement)
 
     def __call__(self, left_img, right_img, side: str = "l",
                  output_cost_volume: bool = False, train: bool = True):

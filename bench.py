@@ -52,8 +52,10 @@ def main():
     dtype_name = "bfloat16"
     # fused_siamese: one batch-2 feature-tower forward per view pair; with
     # the fused ER forward below, the extractor runs at batch 4 per step.
+    # s2d_refinement: space-to-depth tower layout (exact; see
+    # models/s2d_refinement.py) — C=32 full-res activations pack 128 lanes.
     model = StereoModel(k=k, input_scale=s, dtype=jnp.bfloat16,
-                        fused_siamese=True)
+                        fused_siamese=True, s2d_refinement=True)
 
     rng = np.random.RandomState(0)
     left = jnp.asarray(rng.rand(1, h, w, 3), jnp.float32)

@@ -29,7 +29,7 @@ def main():
 
     k, s, h, w = 4, 0, 320, 960
     model = StereoModel(k=k, input_scale=s, dtype=jnp.bfloat16,
-                        fused_siamese=True)
+                        fused_siamese=True, s2d_refinement=True)
     rng = np.random.RandomState(0)
     left = jnp.asarray(rng.rand(1, h, w, 3), jnp.float32)
     right = jnp.asarray(rng.rand(1, h, w, 3), jnp.float32)
@@ -56,10 +56,10 @@ def main():
     print(json.dumps({"ms_per_step": round(1e3 * (time.perf_counter() - t0) / 20, 2)}),
           flush=True)
 
-    with jax.profiler.trace("artifacts/trace_r3"):
+    with jax.profiler.trace("artifacts/trace_r4"):
         ss = run_block(10, ss)
 
-    path = sorted(glob.glob("artifacts/trace_r3/plugins/profile/*/vm.trace.json.gz"))[-1]
+    path = sorted(glob.glob("artifacts/trace_r4/plugins/profile/*/vm.trace.json.gz"))[-1]
     with gzip.open(path) as f:
         tr = json.load(f)
     cat = collections.defaultdict(float)
