@@ -65,9 +65,11 @@ def _epe(pred_disp: jnp.ndarray, gt_disp: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(err) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def make_train_step(model, tx, input_scale: int, scales: Sequence[int], clip_grad_norm: bool):
+def make_train_step(model, tx, input_scale: int, scales: Sequence[int], clip_grad_norm: bool,
+                    train_bn: bool = True):
     """Supervised training step: multiscale Khamis loss + Adam
-    (reference train.py:204-223)."""
+    (reference train.py:204-223). train_bn=False freezes BatchNorm on running
+    stats (used by the exact data-parallel invariant test)."""
 
     @jax.jit
     def train_step(state, batch):
@@ -75,15 +77,24 @@ def make_train_step(model, tx, input_scale: int, scales: Sequence[int], clip_gra
         right = batch[f"color_r/{input_scale}"]
 
         def loss_fn(params):
-            outputs, mut = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                left, right, side="l", output_cost_volume=False, train=True,
-                mutable=["batch_stats"],
-            )
+            if train_bn:
+                outputs, mut = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    left, right, side="l", output_cost_volume=False, train=True,
+                    mutable=["batch_stats"],
+                )
+                new_stats = mut["batch_stats"]
+            else:
+                outputs = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    left, right, side="l", output_cost_volume=False,
+                    train=False,
+                )
+                new_stats = state.batch_stats
             losses = khamis_robust_loss_multiscale(
                 batch, outputs, scales=scales, gt_disp_scale=input_scale
             )
-            return losses["total_loss"], (losses, mut["batch_stats"])
+            return losses["total_loss"], (losses, new_stats)
 
         (_, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

@@ -26,24 +26,38 @@ from .fleet import _shard_map
 
 def make_parallel_train_step(model, tx, mesh: Mesh, input_scale: int,
                              scales: Sequence[int], clip_grad_norm: bool,
-                             axis_name: str = "data"):
+                             axis_name: str = "data", train_bn: bool = True):
     """Returns train_step(state, sharded_batch) -> (state, losses). The batch
     leading axis must be divisible by the mesh size and sharded on `axis_name`
-    (parallel.data_sharding)."""
+    (parallel.data_sharding).
+
+    train_bn=False runs BatchNorm on running stats (eval mode, stats frozen):
+    normalization then has no cross-sample coupling, so the psum-mean of the
+    per-device grads is EXACTLY the single-device global-batch grad — the
+    invariant tests/test_parallel.py pins numerically."""
 
     def local_step(params, batch_stats, opt_state, batch):
         left = batch[f"color_l/{input_scale}"]
         right = batch[f"color_r/{input_scale}"]
 
         def loss_fn(p):
-            outputs, mut = model.apply(
-                {"params": p, "batch_stats": batch_stats},
-                left, right, side="l", output_cost_volume=False, train=True,
-                mutable=["batch_stats"],
-            )
+            if train_bn:
+                outputs, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    left, right, side="l", output_cost_volume=False, train=True,
+                    mutable=["batch_stats"],
+                )
+                new_stats = mut["batch_stats"]
+            else:
+                outputs = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    left, right, side="l", output_cost_volume=False,
+                    train=False,
+                )
+                new_stats = batch_stats
             losses = khamis_robust_loss_multiscale(
                 batch, outputs, scales=scales, gt_disp_scale=input_scale)
-            return losses["total_loss"], (losses, mut["batch_stats"])
+            return losses["total_loss"], (losses, new_stats)
 
         (_, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)

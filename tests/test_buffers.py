@@ -60,3 +60,38 @@ def test_priority_queue_max_heap_semantics():
     assert q.add(None, None, 3.0, 2)      # 3 > min(1,5)=1 -> replaces it
     assert not q.add(None, None, 0.5, 3)  # worse than everything
     assert abs(q.average_value() - 4.0) < 1e-12
+
+
+def test_priority_queue_ovs_policy_accounting():
+    """Gradient-update accounting contract of ovs_policy='priority_queue'
+    (engine/adapt.py:_PriorityQueueOVS): pre_decide is unconditionally
+    add=True, so the device masks the Adam update for EVERY novel frame —
+    including frames the heap then declines to store. This makes the PQ
+    mode's gradient_updates counter intentionally non-comparable with the
+    reservoir mode (whose pre-draw always matches its commit)."""
+    from adaptive_stereo_tpu.engine.adapt import _PriorityQueueOVS
+
+    ovs = _PriorityQueueOVS(2)
+    img = np.zeros((2, 2), np.float32)
+
+    skipped_updates = 0      # what the device counter would record
+    stored = []
+    for idx, loss in enumerate([5.0, 3.0, 1.0, 4.0]):
+        pre = ovs.pre_decide(idx)
+        assert pre.add           # novel frame ALWAYS diverts from the update
+        skipped_updates += 1     # do_update = ~(novel & pre.add) = False
+        stored.append(ovs.commit(pre, img, img, loss, idx))
+
+    # Max-heap keeps the WORST-loss pairs: 1.0 is rejected at commit time
+    # (the buffer discarded the frame, yet its update was already skipped).
+    assert stored == [True, True, False, True]
+    assert skipped_updates == 4
+    assert ovs.size() == 2
+    assert sorted(it[0] for it in ovs.buf) == [4.0, 5.0]
+
+    # Reservoir pre-draw, by contrast, always matches its commit.
+    res = StereoReservoir(2, rng=random.Random(0))
+    for idx in range(20):
+        pre = res.pre_decide(idx)
+        did = res.commit(pre, img, img, float(idx), idx)
+        assert did == pre.add
