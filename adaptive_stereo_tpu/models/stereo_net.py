@@ -215,6 +215,10 @@ class StereoNet(nn.Module):
     # parameter tree and math (up to float reassociation), ~2x faster on TPU
     # where C=32 activations waste 75% of the vector lanes.
     s2d_refinement: bool = False
+    # Fused Pallas 3D-conv aggregation stack (ops/pallas/aggregation.py):
+    # all five layers in one VMEM-resident kernel; identical parameter tree
+    # (models/pallas_aggregation.py).
+    pallas_aggregation: bool = False
 
     @nn.compact
     def __call__(
@@ -236,12 +240,19 @@ class StereoNet(nn.Module):
                 left_features, right_features, num_disp)
         else:
             cost = difference_cost_volume(left_features, right_features, num_disp)
-        for i in range(4):
-            cost = ConvBN3D(32, 3, 1, 1, self.dtype, name=f"filter_{i}")(cost, train)
-            cost = nn.leaky_relu(cost, negative_slope=0.2)
-        cost = nn.Conv(
-            1, (3, 3, 3), padding=[(1, 1)] * 3, dtype=self.dtype, name="conv3d_alone"
-        )(cost)
+        if self.pallas_aggregation:
+            from .pallas_aggregation import apply_pallas_aggregation
+
+            if self.dtype is not None:
+                cost = cost.astype(self.dtype)
+            cost = apply_pallas_aggregation(self, cost, train)
+        else:
+            for i in range(4):
+                cost = ConvBN3D(32, 3, 1, 1, self.dtype, name=f"filter_{i}")(cost, train)
+                cost = nn.leaky_relu(cost, negative_slope=0.2)
+            cost = nn.Conv(
+                1, (3, 3, 3), padding=[(1, 1)] * 3, dtype=self.dtype, name="conv3d_alone"
+            )(cost)
 
         # (B, D, h, w): soft-argmin over the disparity axis in float32.
         cost = jnp.squeeze(cost, -1).astype(jnp.float32)
@@ -295,12 +306,14 @@ class StereoModel(nn.Module):
     use_pallas: bool = False
     fused_siamese: bool = False
     s2d_refinement: bool = False
+    pallas_aggregation: bool = False
 
     def setup(self):
         self.feature_net = FeatureExtractorNetwork(self.k, self.dtype)
         self.stereo_net = StereoNet(self.k, 1, self.input_scale, self.maxdisp,
                                     self.dtype, self.use_pallas,
-                                    self.s2d_refinement)
+                                    self.s2d_refinement,
+                                    self.pallas_aggregation)
 
     def __call__(self, left_img, right_img, side: str = "l",
                  output_cost_volume: bool = False, train: bool = True):

@@ -132,3 +132,123 @@ def test_model_with_pallas_matches_without():
         lambda a, b: float(jnp.max(jnp.abs(a - b))) -
         5e-3 * (float(jnp.max(jnp.abs(a))) + 1e-3), g0, g1)
     assert max(jax.tree.leaves(diffs)) < 0, diffs
+
+
+# ---------------------------------------------------------------------------
+# Fused 3D-conv aggregation stack (ops/pallas/aggregation.py)
+# Reference: adaptive_stereo/models/stereo_net.py:155-162,185-187.
+# ---------------------------------------------------------------------------
+
+def _agg_params(rng, scale=0.1):
+    return {
+        "kernels": jnp.asarray(rng.randn(4, 3, 3, 3, 32, 32) * scale, jnp.float32),
+        "biases": jnp.asarray(rng.randn(4, 32) * scale, jnp.float32),
+        "scales": jnp.asarray(1 + rng.randn(4, 32) * scale, jnp.float32),
+        "bn_biases": jnp.asarray(rng.randn(4, 32) * scale, jnp.float32),
+        "final_kernel": jnp.asarray(rng.randn(3, 3, 3, 32, 1) * scale, jnp.float32),
+        "final_bias": jnp.asarray(rng.randn(1) * scale, jnp.float32),
+    }
+
+
+def _agg_run_stats(rng):
+    return (jnp.asarray(rng.randn(4, 32) * 0.05, jnp.float32),
+            jnp.asarray(1 + rng.rand(4, 32) * 0.1, jnp.float32))
+
+
+@pytest.mark.parametrize("b,d,h,w", [(1, 12, 4, 8), (2, 12, 6, 12)])
+@pytest.mark.parametrize("train", [True, False])
+def test_aggregation_kernel_matches_jnp(b, d, h, w, train):
+    from adaptive_stereo_tpu.ops.pallas import (
+        aggregate_cost_volume_pallas, aggregate_cost_volume_ref)
+
+    rng = np.random.RandomState(b * 100 + d)
+    params = _agg_params(rng)
+    rs = _agg_run_stats(rng)
+    cost = jnp.asarray(rng.randn(b, d, h, w, 32), jnp.float32)
+
+    o_ref, mu_r, var_r = aggregate_cost_volume_ref(cost, params, rs, train)
+    o_pl, mu_p, var_p = aggregate_cost_volume_pallas(cost, params, rs, train)
+    np.testing.assert_allclose(np.asarray(o_pl), np.asarray(o_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var_p), np.asarray(var_r),
+                               rtol=1e-4, atol=1e-5)
+    if not train:  # eval echoes the running stats exactly
+        np.testing.assert_array_equal(np.asarray(mu_p), np.asarray(rs[0]))
+
+
+def test_aggregation_kernel_vjp_matches_jnp():
+    """Gradients through the custom VJP == jax.grad of the golden twin, for
+    the cost volume and every parameter leaf."""
+    import jax
+    from adaptive_stereo_tpu.ops.pallas import (
+        aggregate_cost_volume_pallas, aggregate_cost_volume_ref)
+
+    rng = np.random.RandomState(7)
+    params = _agg_params(rng)
+    rs = _agg_run_stats(rng)
+    cost = jnp.asarray(rng.randn(1, 12, 4, 8, 32), jnp.float32)
+
+    def loss_p(c, p):
+        return jnp.sum(aggregate_cost_volume_pallas(c, p, rs, True)[0] ** 2)
+
+    def loss_r(c, p):
+        return jnp.sum(aggregate_cost_volume_ref(c, p, rs, True)[0] ** 2)
+
+    gc_p, gp_p = jax.grad(loss_p, argnums=(0, 1))(cost, params)
+    gc_r, gp_r = jax.grad(loss_r, argnums=(0, 1))(cost, params)
+    np.testing.assert_allclose(np.asarray(gc_p), np.asarray(gc_r),
+                               rtol=1e-3, atol=1e-4)
+    for key in params:
+        np.testing.assert_allclose(np.asarray(gp_p[key]), np.asarray(gp_r[key]),
+                                   rtol=1e-3, atol=2e-3, err_msg=key)
+
+
+def test_aggregation_kernel_unsupported_shapes_raise():
+    from adaptive_stereo_tpu.ops.pallas import (
+        aggregate_cost_volume_pallas, aggregation_pallas_supported)
+
+    rng = np.random.RandomState(1)
+    params = _agg_params(rng)
+    rs = _agg_run_stats(rng)
+    bad = jnp.asarray(rng.randn(1, 4, 4, 6, 32), jnp.float32)  # W % 4 != 0
+    assert not aggregation_pallas_supported(bad.shape, bad.dtype)
+    with pytest.raises(ValueError):
+        aggregate_cost_volume_pallas(bad, params, rs, True)
+    # Working sets beyond the VMEM budget are rejected (the model falls back
+    # to the golden twin for these).
+    assert not aggregation_pallas_supported((8, 12, 40, 120, 32), jnp.float32)
+    assert aggregation_pallas_supported((2, 12, 20, 60, 32), jnp.bfloat16)
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_model_with_pallas_aggregation_matches_without(train):
+    """StereoModel(pallas_aggregation=True): identical variable tree and
+    init values; forward outputs and batch-stat updates match the standard
+    stack in both BN modes."""
+    import jax
+    from adaptive_stereo_tpu.models import StereoModel
+
+    rng = np.random.RandomState(3)
+    K, S, H, W = 3, 1, 32, 64
+    left = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
+    right = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
+    m0 = StereoModel(k=K, input_scale=S)
+    m1 = StereoModel(k=K, input_scale=S, pallas_aggregation=True)
+    v0 = m0.init(jax.random.PRNGKey(0), left, right, train=False)
+    v1 = m1.init(jax.random.PRNGKey(0), left, right, train=False)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    o0, mut0 = m0.apply(v0, left, right, train=train, output_cost_volume=True,
+                        mutable=["batch_stats"])
+    o1, mut1 = m1.apply(v0, left, right, train=train, output_cost_volume=True,
+                        mutable=["batch_stats"])
+    for key in o0:
+        np.testing.assert_allclose(np.asarray(o0[key]), np.asarray(o1[key]),
+                                   rtol=1e-4, atol=2e-4, err_msg=key)
+    for a, b in zip(jax.tree.leaves(mut0), jax.tree.leaves(mut1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
