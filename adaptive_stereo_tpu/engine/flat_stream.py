@@ -115,7 +115,8 @@ def make_flat_streaming_steps(
     images_uint8: bool = False,
     fused_er_forward: bool = False,
 ):
-    """Returns (adapt_step, done_step, validate_step) over FlatStreamState.
+    """Returns (adapt_step, done_step, validate_step, make_done_step_batched)
+    over FlatStreamState.
 
     adapt_step(ss, left, right, gt, er_left, er_right, er_gt, frame_idx)
       — all image args are single (1,H,W,3)/(1,H,W,1) buffers (7 leaves
@@ -285,6 +286,71 @@ def make_flat_streaming_steps(
         return ss.replace(ema_value=smoothed, ema_init=jnp.ones((), bool),
                           reservoir=res, log=log, log_pos=pos)
 
+    def make_done_step_batched(n: int):
+        """Micro-batched DONE-state inference: N streamed frames in ONE
+        dispatch/compiled program (ROADMAP item 6 — the per-frame done_step
+        leaves the MXU idle between batch-1 forwards and pays N dispatches).
+
+        Bit-equivalent to N sequential `done_step` calls: the batch-N forward
+        runs in eval mode (per-sample independent), per-frame losses/FCS/EPE
+        come from a vmap, and the sequential state (FCS EMA chain, reservoir
+        adds, ring-log rows) is replayed in order by a lax.scan."""
+
+        def per_sample_fcs(outputs):
+            key = f"fcs_l/{coarse}"
+            if key in outputs:
+                fmap = outputs[key]
+            else:
+                from ..ops import feature_contrast_mean
+                fmap = feature_contrast_mean(outputs[f"cost_volume_l/{coarse}"])
+            return jnp.mean(fmap.reshape(fmap.shape[0], -1), axis=1)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def done_step_batched(ss: FlatStreamState, lefts_u, rights_u, gts,
+                              frame_idxs):
+            lefts, rights = dec(lefts_u), dec(rights_u)  # (N, H, W, 3)
+            outputs = model.apply(
+                {"params": spec.unravel_params(ss.theta),
+                 "batch_stats": spec.unravel_bn(ss.bn)},
+                lefts, rights, side="l", output_cost_volume=True, train=False)
+            preds = outputs[f"pred_disp_l/{s}"]  # (N, h, w, 1)
+            fcs_all = per_sample_fcs(outputs)    # (N,)
+
+            def metrics(l, r, p, g):
+                mono, _ = monodepth_single_loss(
+                    l[None], r[None], p[None], smoothness_weight,
+                    max_disp=warp_max_disp)
+                return mono, _epe(p[None], g[None])
+
+            monos, epes = jax.vmap(metrics)(lefts, rights, preds, gts)
+
+            def body(carry, x):
+                ema_value, ema_init, res, log, pos = carry
+                fcs_raw, mono, epe, l, r, idx = x
+                smoothed = jnp.where(
+                    ema_init,
+                    ema_value * fcs_ema_weight + (1 - fcs_ema_weight) * fcs_raw,
+                    fcs_raw)
+                novel = (smoothed < ood_threshold) if use_vs \
+                    else jnp.zeros((), bool)
+                res, did_add = reservoir_maybe_add(res, l, r, mono, idx, novel)
+                row = jnp.stack([
+                    fcs_raw, smoothed, mono, jnp.zeros(()), epe,
+                    novel.astype(jnp.float32), did_add.astype(jnp.float32),
+                    jnp.zeros(())])
+                log, pos = write_log(log, pos, row)
+                return (smoothed, jnp.ones((), bool), res, log, pos), None
+
+            (ema_value, ema_init, res, log, pos), _ = jax.lax.scan(
+                body,
+                (ss.ema_value, ss.ema_init, ss.reservoir, ss.log, ss.log_pos),
+                (fcs_all, monos, epes, lefts, rights, frame_idxs),
+                length=n)
+            return ss.replace(ema_value=ema_value, ema_init=ema_init,
+                              reservoir=res, log=log, log_pos=pos)
+
+        return done_step_batched
+
     @jax.jit
     def validate_step(ss: FlatStreamState):
         res = ss.reservoir
@@ -307,4 +373,4 @@ def make_flat_streaming_steps(
         ss = ss.replace(reservoir=new_res)
         return ss, reservoir_average_value(new_res), new_res.size
 
-    return adapt_step, done_step, validate_step
+    return adapt_step, done_step, validate_step, make_done_step_batched

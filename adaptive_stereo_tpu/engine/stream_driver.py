@@ -68,7 +68,8 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                     train_splits_root: Optional[str] = None,
                     log_chunk: int = 512, engine: str = "flat",
                     transfer_uint8: bool = False,
-                    fused_er_forward: bool = False) -> Dict:
+                    fused_er_forward: bool = False,
+                    done_batch: int = 1) -> Dict:
     """engine='flat' (default): minimal-dispatch-payload flat-state engine
     (engine/flat_stream.py) — fastest on remote-dispatch TPUs.
     engine='pytree': the structured stream engine (engine/stream_adapt.py).
@@ -76,7 +77,14 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
     transfer_uint8 (flat engine only): upload stream frames as uint8 and
     normalize on device — 4x less host->device bandwidth per frame, at the
     cost of re-quantizing the resized pyramid colors (<=0.5/255 noise; the
-    source images are 8-bit anyway)."""
+    source images are 8-bit anyway).
+
+    done_batch (flat engine only): micro-batch DONE-state frames into one
+    batch-N eval forward per N frames (amortizes dispatch, fills the MXU).
+    Frames queue on the host and flush at every sync boundary (log drain /
+    validation / eval), so state-machine semantics — including the
+    bounded-lag DONE->restart on novel frames — are unchanged; the lag bound
+    stays the drain cadence, which done_batch never exceeds."""
     mc, ac, dc, oc = cfg.model, cfg.adapt, cfg.data, cfg.optim
     # The ring must cover the longest possible gap between drains.
     log_chunk = max(log_chunk, 2 * cfg.log_frequency, 2 * max(ac.ovs_validate_hz, 1))
@@ -153,9 +161,11 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
         ss, spec = init_flat_stream_state(
             train_state.params, train_state.batch_stats, oc.learning_rate,
             ac.ovs_buffer_size, hs, ws, log_chunk, seed=cfg.seed)
-        f_adapt, f_done, validate_step = make_flat_streaming_steps(
-            model, spec, s, k, images_uint8=transfer_uint8,
-            fused_er_forward=fused_er_forward, **step_kwargs)
+        f_adapt, f_done, validate_step, make_done_batched = \
+            make_flat_streaming_steps(
+                model, spec, s, k, images_uint8=transfer_uint8,
+                fused_er_forward=fused_er_forward, **step_kwargs)
+        f_done_b = make_done_batched(done_batch) if done_batch > 1 else None
 
         def current_variables(ss):
             return flat_state_to_variables(ss, spec)
@@ -182,6 +192,9 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                           batch.get(f"gt_disp_l/{s}",
                                     jnp.zeros((1, hs, ws, 1))), idx)
     else:
+        if done_batch > 1:
+            raise ValueError("done_batch > 1 requires engine='flat'")
+        f_done_b = None
         adapt_step, done_step, validate_step = make_streaming_steps(
             model, s, k, **step_kwargs)
         ss = init_stream_state(train_state, ac.ovs_buffer_size, hs, ws,
@@ -231,9 +244,30 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
     final_metrics: Dict = {}
     t_start = time.time()
 
+    # DONE-state micro-batch queue: (left, right, gt, frame_idx) device
+    # buffers awaiting one batched eval dispatch. Flushed whenever full and
+    # at every sync boundary (drain), so the ring log always covers
+    # [0, step) before any readback.
+    pending = []
+
+    def flush_pending():
+        nonlocal ss
+        while f_done_b is not None and len(pending) >= done_batch:
+            chunk = [pending.pop(0) for _ in range(done_batch)]
+            ss = f_done_b(
+                ss,
+                jnp.concatenate([c[0] for c in chunk], axis=0),
+                jnp.concatenate([c[1] for c in chunk], axis=0),
+                jnp.concatenate([c[2] for c in chunk], axis=0),
+                jnp.asarray([c[3] for c in chunk], jnp.int32))
+        while pending:  # tail < done_batch: reuse the compiled 1-frame program
+            l, r, g, i = pending.pop(0)
+            ss = f_done(ss, l, r, g, jnp.asarray(i, jnp.int32))
+
     def drain(upto_step: int):
         """One readback of the ring log covering [drained_through, upto_step)."""
         nonlocal drained_through, gradient_updates
+        flush_pending()
         n = upto_step - drained_through
         if n <= 0:
             return
@@ -296,6 +330,13 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                 else:
                     er_batch = batch
                 ss = adapt_step(ss, batch, er_batch, jnp.asarray(batch_idx, jnp.int32))
+            elif f_done_b is not None:
+                pending.append((
+                    color(batch, f"color_l/{s}"), color(batch, f"color_r/{s}"),
+                    batch.get(f"gt_disp_l/{s}", jnp.zeros((1, hs, ws, 1))),
+                    batch_idx))
+                if len(pending) >= done_batch:
+                    flush_pending()
             else:
                 ss = done_step(ss, batch, jnp.asarray(batch_idx, jnp.int32))
             step += 1

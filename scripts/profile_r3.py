@@ -38,7 +38,7 @@ def main():
     state = create_train_state(model, jax.random.PRNGKey(0), left, right, 5e-5)
     ss, spec = init_flat_stream_state(
         state.params, state.batch_stats, 5e-5, 16, h, w, 64, seed=0)
-    adapt_step, _, _ = make_flat_streaming_steps(
+    adapt_step, _, _, _ = make_flat_streaming_steps(
         model, spec, s, k, use_er=True, use_vs=True,
         ood_threshold=12.76, clip_grad_norm=True, fused_er_forward=True)
     idx = jnp.asarray(0, jnp.int32)

@@ -162,7 +162,7 @@ def test_flat_step_matches_pytree_step(env):
     ss1 = init_stream_state(ts, 4, H, W, 16, seed=1)
     fss, spec = init_flat_stream_state(ts.params, ts.batch_stats, 3e-4, 4, H, W,
                                        16, seed=1)
-    a2, _, _ = make_flat_streaming_steps(model, spec, S, K, **kw)
+    a2, _, _, _ = make_flat_streaming_steps(model, spec, S, K, **kw)
 
     idx = jnp.asarray(0, jnp.int32)
     ss1 = a1(ss1, batch, batch, idx)
@@ -205,7 +205,7 @@ def test_flat_step_fused_er_forward(env):
     for fused in (False, True):
         fss, spec = init_flat_stream_state(ts.params, ts.batch_stats, 3e-4,
                                            4, H, W, 16, seed=1)
-        step, _, _ = make_flat_streaming_steps(
+        step, _, _, _ = make_flat_streaming_steps(
             model, spec, S, K, use_er=True, use_vs=False,
             clip_grad_norm=True, fused_er_forward=fused)
         out = step(fss, left, right, gt, er_left, er_right, er_gt, idx)
@@ -261,3 +261,97 @@ def test_streaming_uint8_transfer(env, tmp_path):
                         transfer_uint8=True)
     assert r["gradient_updates"] == 6
     assert np.isfinite(r["final_metrics"]["adapt"]["EPE"])
+
+
+def test_done_step_batched_matches_sequential(env):
+    """One batched DONE dispatch over N frames replays EXACTLY the sequential
+    per-frame done_step semantics: EMA chain, gated reservoir adds, ring-log
+    rows (ROADMAP item 6 micro-batching)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaptive_stereo_tpu.engine import create_train_state
+    from adaptive_stereo_tpu.engine.flat_stream import (
+        init_flat_stream_state, make_flat_streaming_steps)
+    from adaptive_stereo_tpu.models import StereoModel
+
+    _, _, variables = env
+    model = StereoModel(k=K, input_scale=S)
+    rng = np.random.RandomState(7)
+    n_frames = 5
+    frames = [
+        (jnp.asarray(rng.rand(1, H, W, 3), np.float32),
+         jnp.asarray(rng.rand(1, H, W, 3), np.float32),
+         jnp.asarray(rng.rand(1, H, W, 1) * 8, np.float32))
+        for _ in range(n_frames)
+    ]
+    ts = create_train_state(model, jax.random.PRNGKey(0), frames[0][0],
+                            frames[0][0], 3e-4, variables=variables)
+
+    # Threshold above typical FCS so every frame is novel -> reservoir adds
+    # (including a replacement draw once capacity 2 fills) exercise the scan.
+    kw = dict(use_er=False, use_vs=True, ood_threshold=1e9,
+              fcs_ema_weight=0.9)
+
+    def init():
+        return init_flat_stream_state(ts.params, ts.batch_stats, 3e-4,
+                                      2, H, W, 16, seed=11)
+
+    ss_seq, spec = init()
+    _, done1, _, make_batched = make_flat_streaming_steps(
+        model, spec, S, K, **kw)
+    for i, (l, r, g) in enumerate(frames):
+        ss_seq = done1(ss_seq, l, r, g, jnp.asarray(i, jnp.int32))
+
+    ss_bat, _ = init()
+    done2 = make_batched(2)
+    for i0 in (0, 2):  # two batched dispatches of 2 ...
+        chunk = frames[i0:i0 + 2]
+        ss_bat = done2(
+            ss_bat,
+            jnp.concatenate([c[0] for c in chunk]),
+            jnp.concatenate([c[1] for c in chunk]),
+            jnp.concatenate([c[2] for c in chunk]),
+            jnp.asarray([i0, i0 + 1], jnp.int32))
+    l, r, g = frames[4]  # ... + the per-frame tail, as the driver flushes
+    ss_bat = done1(ss_bat, l, r, g, jnp.asarray(4, jnp.int32))
+
+    np.testing.assert_allclose(np.asarray(ss_seq.log[:n_frames]),
+                               np.asarray(ss_bat.log[:n_frames]),
+                               rtol=1e-5, atol=1e-6)
+    assert int(ss_bat.log_pos) == n_frames
+    assert float(ss_bat.ema_value) == pytest.approx(float(ss_seq.ema_value),
+                                                    rel=1e-6)
+    res_s, res_b = ss_seq.reservoir, ss_bat.reservoir
+    assert int(res_b.size) == int(res_s.size) == 2
+    assert int(res_b.count) == int(res_s.count) == n_frames
+    np.testing.assert_array_equal(np.asarray(res_b.reg_indices),
+                                  np.asarray(res_s.reg_indices))
+    np.testing.assert_allclose(np.asarray(res_b.left), np.asarray(res_s.left),
+                               atol=1e-6)
+    # Params/opt state untouched by DONE steps.
+    np.testing.assert_array_equal(np.asarray(ss_bat.theta),
+                                  np.asarray(ss_seq.theta))
+
+
+def test_streaming_done_batch_driver(env, tmp_path):
+    """adapt_mode=NONE (always DONE) through the driver with done_batch=3:
+    identical trajectory to the per-frame path, including log drains across
+    batched/tail flush boundaries."""
+    from adaptive_stereo_tpu.engine import adapt_streaming
+
+    train_root, novel_root, variables = env
+    r = {}
+    for name, db in (("done1", 1), ("done3", 3)):
+        cfg = _adapt_cfg(train_root, novel_root, str(tmp_path), name,
+                         adapt_mode="NONE", num_steps=8, eval_hz=8,
+                         skip_initial_eval=True)
+        r[db] = adapt_streaming(cfg, variables=variables, engine="flat",
+                                done_batch=db)
+    assert r[3]["gradient_updates"] == r[1]["gradient_updates"] == 0
+    np.testing.assert_allclose(
+        r[3]["final_metrics"]["adapt"]["EPE"],
+        r[1]["final_metrics"]["adapt"]["EPE"], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r[3]["stream_state"].log[:8]),
+                               np.asarray(r[1]["stream_state"].log[:8]),
+                               rtol=1e-4, atol=1e-6)
