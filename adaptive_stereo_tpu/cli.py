@@ -74,6 +74,21 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--train_split", type=str, default="")
         sp.add_argument("--ood_threshold", type=float, default=15.0)
         sp.add_argument("--fcs_ema_weight", type=float, default=0.999)
+        # Streaming (zero-sync) engine selection — 'classic' is the
+        # step-for-step reference-parity engine (engine/adapt.py).
+        sp.add_argument("--engine", default="classic",
+                        choices=["classic", "flat", "pytree"],
+                        help="adaptation engine: classic (per-step sync, "
+                             "reference parity) | flat / pytree (zero-sync "
+                             "streaming, production throughput)")
+        sp.add_argument("--transfer_uint8", action="store_true", default=False,
+                        help="flat engine: upload stream frames as uint8")
+        sp.add_argument("--fused_er_forward", action="store_true", default=False,
+                        help="flat engine: batch-2 siamese stream+replay "
+                             "forward (documented BN-batching deviation)")
+        sp.add_argument("--done_batch", type=int, default=1,
+                        help="flat engine: micro-batch N DONE-state frames "
+                             "into one inference dispatch")
 
     add_common(sub.add_parser("train", help="supervised training"))
     add_common(sub.add_parser("adapt", help="online adaptation"))
@@ -158,11 +173,21 @@ def main(argv=None) -> int:
         return 0
 
     if opt.command == "adapt":
-        from .engine.adapt import adapt
-
         print("\nStarting adaptation ...")
-        adapt(cfg, splits_root=opt.splits_root,
-              train_splits_root=opt.train_splits_root)
+        if opt.engine == "classic":
+            from .engine.adapt import adapt
+
+            adapt(cfg, splits_root=opt.splits_root,
+                  train_splits_root=opt.train_splits_root)
+        else:
+            from .engine.stream_driver import adapt_streaming
+
+            adapt_streaming(cfg, splits_root=opt.splits_root,
+                            train_splits_root=opt.train_splits_root,
+                            engine=opt.engine,
+                            transfer_uint8=opt.transfer_uint8,
+                            fused_er_forward=opt.fused_er_forward,
+                            done_batch=opt.done_batch)
         print("Done with adaptation!")
         return 0
 

@@ -158,3 +158,48 @@ def test_cli_evaluate_eval_mode(tmp_path, capsys):
                  "--load_weights_folder", ckpt, "--batch_size", "2"]) == 0
     out = capsys.readouterr().out
     assert "EPE=" in out and "D1_all_3px=" in out and "FCS=" in out
+
+
+def test_cli_adapt_streaming_engine(tmp_path):
+    """`adapt --engine flat --done_batch 2` drives the zero-sync streaming
+    engine (with DONE micro-batching) through the CLI end-to-end."""
+    from adaptive_stereo_tpu.cli import main
+    from adaptive_stereo_tpu.data import generate_synthetic_dataset
+    from adaptive_stereo_tpu.engine import train
+    from adaptive_stereo_tpu.engine.config import (
+        DataConfig, ExperimentConfig, ModelConfig, OptimConfig)
+
+    root = str(tmp_path / "data")
+    generate_synthetic_dataset(root, name="synth", num_train=6, num_val=2,
+                               height=64, width=96, max_disp=16.0, seed=0)
+    cfg = ExperimentConfig(
+        model_name="pre", log_dir=str(tmp_path / "logs"), num_epochs=1,
+        log_frequency=1000, save_freq=100,
+        model=ModelConfig(k=3, input_scale=1),
+        optim=OptimConfig(learning_rate=1e-4, scheduler_step_size=1000),
+        data=DataConfig(dataset_path=root, dataset_name="Synthetic",
+                        split="synth", height=64, width=96, batch_size=2,
+                        num_workers=2),
+    )
+    train(cfg)
+
+    rc = main([
+        "adapt",
+        "--model_name", "stream_cli", "--log_dir", str(tmp_path / "logs"),
+        "--dataset_path", root, "--dataset_name", "Synthetic",
+        "--split", "synth", "--height", "64", "--width", "96",
+        "--stereonet_k", "3", "--stereonet_input_scale", "1",
+        "--batch_size", "1", "--learning_rate", "3e-4",
+        "--adapt_mode", "NONE", "--num_steps", "6", "--eval_hz", "6",
+        "--num_epochs", "1", "--log_frequency", "4", "--skip_initial_eval",
+        "--engine", "flat", "--done_batch", "2",
+        "--train_dataset_path", root, "--train_dataset_name", "Synthetic",
+        "--train_split", "synth",
+        "--load_weights_folder",
+        str(tmp_path / "logs" / "pre" / "models" / "weights_0"),
+    ])
+    assert rc == 0
+    import pandas as pd
+
+    df = pd.read_csv(tmp_path / "logs" / "stream_cli" / "trials.csv")
+    assert (df["GRADIENT_UPDATES"] == 0).all()  # NONE mode: pure inference
