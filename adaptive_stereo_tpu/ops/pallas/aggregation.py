@@ -14,13 +14,33 @@ resident in VMEM:
   (lane = phase*32 + c); rows flatten (d, h, w_packed) with zero borders in
   d and h (plus one guard row at each end) pre-padded by the host wrapper.
   A conv tap (kd, kh) is then a STATIC row shift; the 3-tap w conv becomes
-  three (128, 128) matmuls per (kd, kh) with phase-structured matrices built
-  in VMEM from the original (3,3,3,32,32) weights:
+  three (128, 128) matmuls per (kd, kh) with phase-structured matrices
+  BUILT ON THE HOST (XLA) from the original (3,3,3,32,32) weights and
+  passed in as kernel inputs (~4.4 MB bf16 for all five layers):
     A_main[q*32:(q+1)*32, p*32:(p+1)*32] = K[kd, kh, q-p+1]  (|q-p| <= 1)
     A_left [96:128,   0:32] = K[kd, kh, 0]   (w-1 crossing a packed column)
     A_right[  0:32, 96:128] = K[kd, kh, 2]   (w+1 crossing a packed column)
+  (final layer: C_out = 1, so output phase p lands on lane p).
+  Host-side construction matters for correctness, not just simplicity:
+  building these matrices inside the kernel with single-lane column stores
+  (`a_ref[q*32:(q+1)*32, p] = tap`) passes in interpreter mode but
+  MISCOMPILES for bf16 on real TPUs — Mosaic cannot lower the bf16
+  vector<1x32> -> vector<32x1> minor-dim insertion ("Insertion of minor dim
+  that is not a no-op only supported for 32-bit types"; standalone it is a
+  compile error, in a larger kernel it silently produced garbage). See
+  scripts/debug_agg*.py for the bisection that isolated this.
   Column-boundary validity is a row-granular mask (w_packed == 0 / Wp-1),
   applied once per layer — no gathers, no dynamic shapes.
+- Activation buffers are ALWAYS f32 in VMEM, holding compute-dtype-ROUNDED
+  values; slices are cast to the compute dtype at each matmul input (exact:
+  the values are bf16-representable), so the MXU still runs bf16 while
+  every strided/unaligned slice load+store uses 32-bit (8,128) tiles. This
+  too is a miscompile workaround, not a style choice: with bf16 (16,128)
+  tiling, the kernel's unaligned row slices compile correctly at small row
+  counts but produce wrong values at the paper shape's ~4.6k rows
+  (scripts/debug_agg5.py: f32 exact at paper shape, bf16 wrong at B=1 and
+  B=2 while small shapes pass) — f32 activation tiles sidestep the broken
+  lowering with identical numerics and ~2x activation VMEM.
 - Activations ping-pong between two zero-bordered VMEM buffers; each layer
   accumulates its 27 tap matmuls into one f32 accumulator and stores the
   conv output rounded to the compute dtype (exactly what the XLA path's
@@ -55,11 +75,11 @@ _C = 32
 _PHASES = 4
 _LANES = _PHASES * _C  # 128
 # Mosaic's scoped-vmem accounting charges a stack slot per live temporary in
-# the fully-unrolled 135-matmul body (~2.2x our buffer footprint), so the
-# kernel raises the compiler's scoped limit and gates admission on the
-# buffer estimate below.
-_VMEM_BUDGET = 20 * 2 ** 20
-_VMEM_COMPILER_LIMIT = 64 * 2 ** 20
+# the fully-unrolled 135-matmul body, so the kernel raises the compiler's
+# scoped limit and gates admission on the buffer estimate below (which now
+# includes the host-built tap matrices as inputs).
+_VMEM_BUDGET = 48 * 2 ** 20
+_VMEM_COMPILER_LIMIT = 100 * 2 ** 20
 
 
 # ---------------------------------------------------------------------------
@@ -121,16 +141,52 @@ def aggregate_cost_volume_ref(
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(xpad_ref, ks_ref, kf_ref, b_ref, bf_ref, sc_ref, bb_ref,
+def _build_tap_matrices(params, cdtype):
+    """Phase-structured (128, 128) matmul matrices for every layer and tap,
+    built with plain XLA ops on the host side of the pallas_call.
+
+    Returns (A_main, A_left, A_right), each (5, 3, 3, 128, 128) in cdtype.
+    Layers 0..3 use params['kernels'][l] (C_out = 32, output block p*32);
+    layer 4 uses params['final_kernel'] (C_out = 1, output lane p).
+    """
+    # P[kw, q, p] = 1 iff input phase q feeds output phase p via w-tap kw
+    # (kw = q - p + 1), phases staying inside one packed column.
+    qi = jnp.arange(_PHASES)
+    pmat = (qi[None, :, None] - qi[None, None, :] + 1
+            == jnp.arange(3)[:, None, None]).astype(jnp.float32)
+
+    def blockify(K):  # (3, 3, 3, 32, co) -> main/left/right (3, 3, 128, 128)
+        co = K.shape[-1]
+        # kron(P[kw], K[kd, kh, kw]) summed over kw: block (q, p) = K[.., q-p+1]
+        main = jnp.einsum("wqp,dhwio->dhqipo", pmat, K)
+        main = main.reshape(3, 3, _LANES, _PHASES * co)
+        zeros = jnp.zeros((3, 3, _LANES, _PHASES * co), jnp.float32)
+        # left cross: source phase 3 (rows 96:128) -> output phase 0, tap kw=0
+        left = zeros.at[:, :, 3 * _C:, 0:co].set(K[:, :, 0])
+        # right cross: source phase 0 (rows 0:32) -> output phase 3, tap kw=2
+        right = zeros.at[:, :, 0:_C, (_PHASES - 1) * co:].set(K[:, :, 2])
+        if co != _C:  # final layer: pad output lanes 4 -> 128
+            pad = [(0, 0), (0, 0), (0, 0), (0, _LANES - _PHASES * co)]
+            main, left, right = (jnp.pad(x, pad) for x in (main, left, right))
+        return main, left, right
+
+    per_layer = [blockify(params["kernels"][i].astype(jnp.float32))
+                 for i in range(_NUM_BN_LAYERS)]
+    per_layer.append(blockify(params["final_kernel"].astype(jnp.float32)))
+    return tuple(jnp.stack([pl_[kind] for pl_ in per_layer]).astype(cdtype)
+                 for kind in range(3))
+
+
+def _kernel(xpad_ref, am_ref, al_ref, ar_ref, b_ref, bf_ref, sc_ref, bb_ref,
             rm_ref, rv_ref,
             out_ref, mu_ref, var_ref,
-            x0_ref, x1_ref, xm_ref, acc_ref, a_ref,
+            x0_ref, x1_ref, xm_ref, acc_ref,
             *, B, D, H, Wp, train, eps):
     R = (D + 2) * (H + 2) * Wp
     R2 = R + 2          # one guard row at each end (w-cross slices read +-1)
     S = (H + 3) * Wp
     Racc = R - 2 * S
-    cdtype = x0_ref.dtype
+    cdtype = am_ref.dtype   # compute dtype; activation buffers are f32
     count = float(B * D * H * Wp * _PHASES)
 
     def base_of(kd, kh):
@@ -140,8 +196,8 @@ def _kernel(xpad_ref, ks_ref, kf_ref, b_ref, bf_ref, sc_ref, bb_ref,
     # zero, their mask value is irrelevant).
     rows = jax.lax.broadcasted_iota(jnp.int32, (R2, 1), 0)
     wp_idx = (rows - 1) % Wp
-    mask_l = (wp_idx != (Wp - 1)).astype(cdtype)   # kills w-1 cross at w=0
-    mask_r = (wp_idx != 0).astype(cdtype)          # kills w+1 cross at w=W-1
+    mask_l = (wp_idx != (Wp - 1)).astype(jnp.float32)  # kills w-1 cross at w=0
+    mask_r = (wp_idx != 0).astype(jnp.float32)         # kills w+1 cross at w=W-1
     # Phase-fold-and-tile matrix: (s @ T)[p*32+c] = sum_q s[q*32+c] — folds
     # the 4 phase copies of each channel and re-tiles in one MXU pass
     # (Mosaic has no 1-D 128 -> (4,32) reshape).
@@ -152,8 +208,8 @@ def _kernel(xpad_ref, ks_ref, kf_ref, b_ref, bf_ref, sc_ref, bb_ref,
     # Ping-pong activation buffers: only interior rows are ever written, so
     # zeroing once keeps the conv borders zero through all layers.
     for b in range(B):
-        x0_ref[b] = jnp.zeros((R2, _LANES), cdtype)
-        x1_ref[b] = jnp.zeros((R2, _LANES), cdtype)
+        x0_ref[b] = jnp.zeros((R2, _LANES), jnp.float32)
+        x1_ref[b] = jnp.zeros((R2, _LANES), jnp.float32)
 
     for layer in range(_NUM_BN_LAYERS + 1):
         final = layer == _NUM_BN_LAYERS
@@ -168,29 +224,14 @@ def _kernel(xpad_ref, ks_ref, kf_ref, b_ref, bf_ref, sc_ref, bb_ref,
                 bias_t = jnp.concatenate([b_ref[layer]] * _PHASES)
                 acc_ref[:] = jnp.broadcast_to(bias_t[None, :], (Racc, _LANES))
 
-            def k_tap(kd, kh):
-                if final:
-                    return kf_ref[kd, kh, :, :, 0].astype(cdtype)   # (3,32)
-                return ks_ref[layer, kd, kh].astype(cdtype)         # (3,32,32)
-
             # Main taps (phases stay inside their packed column — the zero
             # d/h borders make every read valid, no masking).
             for kd in range(3):
                 for kh in range(3):
-                    tap = k_tap(kd, kh)
-                    a_ref[:] = jnp.zeros((_LANES, _LANES), cdtype)
-                    for p in range(_PHASES):
-                        for q in range(_PHASES):
-                            kw = q - p + 1
-                            if 0 <= kw <= 2:
-                                if final:
-                                    a_ref[q * _C:(q + 1) * _C, p] = tap[kw]
-                                else:
-                                    a_ref[q * _C:(q + 1) * _C,
-                                          p * _C:(p + 1) * _C] = tap[kw]
                     s0 = S + base_of(kd, kh) + 1   # +1: front guard row
                     acc_ref[:] += jnp.dot(
-                        src_ref[b, s0:s0 + Racc], a_ref[:],
+                        src_ref[b, s0:s0 + Racc].astype(cdtype),
+                        am_ref[layer, kd, kh],
                         preferred_element_type=jnp.float32)
 
             # Left crosses (out phase 0 reads w-1 from the previous packed
@@ -198,30 +239,20 @@ def _kernel(xpad_ref, ks_ref, kf_ref, b_ref, bf_ref, sc_ref, bb_ref,
             xm_ref[:] = src_ref[b] * mask_l
             for kd in range(3):
                 for kh in range(3):
-                    tap = k_tap(kd, kh)
-                    a_ref[:] = jnp.zeros((_LANES, _LANES), cdtype)
-                    if final:
-                        a_ref[3 * _C:, 0] = tap[0]
-                    else:
-                        a_ref[3 * _C:, 0:_C] = tap[0]
                     s0 = S + base_of(kd, kh) + 1
                     acc_ref[:] += jnp.dot(
-                        xm_ref[s0 - 1:s0 - 1 + Racc], a_ref[:],
+                        xm_ref[s0 - 1:s0 - 1 + Racc].astype(cdtype),
+                        al_ref[layer, kd, kh],
                         preferred_element_type=jnp.float32)
 
             # Right crosses (out phase 3 reads w+1 from the next column).
             xm_ref[:] = src_ref[b] * mask_r
             for kd in range(3):
                 for kh in range(3):
-                    tap = k_tap(kd, kh)
-                    a_ref[:] = jnp.zeros((_LANES, _LANES), cdtype)
-                    if final:
-                        a_ref[0:_C, 3] = tap[2]
-                    else:
-                        a_ref[0:_C, 3 * _C:] = tap[2]
                     s0 = S + base_of(kd, kh) + 1
                     acc_ref[:] += jnp.dot(
-                        xm_ref[s0 + 1:s0 + 1 + Racc], a_ref[:],
+                        xm_ref[s0 + 1:s0 + 1 + Racc].astype(cdtype),
+                        ar_ref[layer, kd, kh],
                         preferred_element_type=jnp.float32)
 
             if final:
@@ -229,8 +260,9 @@ def _kernel(xpad_ref, ks_ref, kf_ref, b_ref, bf_ref, sc_ref, bb_ref,
             else:
                 # Store the conv output ROUNDED to the compute dtype — the
                 # same values the XLA path's conv materializes, so the BN
-                # statistics below match the twin bit-for-bit in spirit.
-                y = acc_ref[:].astype(cdtype)
+                # statistics below match the twin bit-for-bit in spirit —
+                # held in f32 buffers (see module docstring).
+                y = acc_ref[:].astype(cdtype).astype(jnp.float32)
                 for d in range(1, D + 1):
                     r0 = (d * (H + 2) + 1) * Wp
                     dst_ref[b, r0 + 1:r0 + 1 + H * Wp] = \
@@ -272,10 +304,11 @@ def _kernel(xpad_ref, ks_ref, kf_ref, b_ref, bf_ref, sc_ref, bb_ref,
         for b in range(B):
             for d in range(1, D + 1):
                 r0 = (d * (H + 2) + 1) * Wp
-                t = dst_ref[b, r0 + 1:r0 + 1 + H * Wp].astype(jnp.float32)
+                t = dst_ref[b, r0 + 1:r0 + 1 + H * Wp]
                 t = t * scale[None, :] + shift[None, :]
                 t = jnp.where(t >= 0, t, _LEAKY_SLOPE * t)
-                dst_ref[b, r0 + 1:r0 + 1 + H * Wp] = t.astype(cdtype)
+                dst_ref[b, r0 + 1:r0 + 1 + H * Wp] = \
+                    t.astype(cdtype).astype(jnp.float32)
 
 
 def _pack(cost: jnp.ndarray, Wp: int) -> jnp.ndarray:
@@ -303,10 +336,11 @@ def _vmem_bytes(shape, dtype) -> int:
     r2 = (d + 2) * (h + 2) * wp + 2
     racc = r2 - 2 - 2 * (h + 3) * wp
     item = jnp.dtype(dtype).itemsize
-    act = (3 * b + 1) * r2 * _LANES * item          # xpad + x0 + x1 + xm
+    act = (3 * b + 1) * r2 * _LANES * 4             # xpad + x0 + x1 + xm (f32)
     accs = 2 * racc * _LANES * 4                    # acc + live matmul temp
     out = b * racc * 8 * 4
-    weights = 5 * 27 * _C * _C * 4 + 6 * _LANES * _LANES * 4
+    # Host-built tap matrices: 3 kinds x 5 layers x 9 (kd,kh) x (128,128)
+    weights = 3 * 5 * 9 * _LANES * _LANES * item + 16 * _C * 4
     return act + accs + out + weights
 
 
@@ -336,7 +370,10 @@ def _forward(cost, params, run_stats, train, eps, interpret):
     Racc = R - 2 * S
     cdtype = cost.dtype
 
-    xpad = _pack(cost, Wp)
+    # Activation / input buffers are f32 carrying cdtype-rounded values
+    # (see module docstring: bf16 tiles miscompile at large row counts).
+    xpad = _pack(cost, Wp).astype(jnp.float32)
+    a_main, a_left, a_right = _build_tap_matrices(params, cdtype)
     rmean, rvar = run_stats
 
     out, mu, var = pl.pallas_call(
@@ -346,26 +383,26 @@ def _forward(cost, params, run_stats, train, eps, interpret):
             jax.ShapeDtypeStruct((_NUM_BN_LAYERS, _C), jnp.float32),
             jax.ShapeDtypeStruct((_NUM_BN_LAYERS, _C), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((B, R + 2, _LANES), cdtype),   # ping
-            pltpu.VMEM((B, R + 2, _LANES), cdtype),   # pong
-            pltpu.VMEM((R + 2, _LANES), cdtype),      # shared masked view
-            pltpu.VMEM((Racc, _LANES), jnp.float32),  # f32 accumulator
-            pltpu.VMEM((_LANES, _LANES), cdtype),     # tap matrix
+            pltpu.VMEM((B, R + 2, _LANES), jnp.float32),   # ping
+            pltpu.VMEM((B, R + 2, _LANES), jnp.float32),   # pong
+            pltpu.VMEM((R + 2, _LANES), jnp.float32),      # shared masked view
+            pltpu.VMEM((Racc, _LANES), jnp.float32),       # f32 accumulator
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_COMPILER_LIMIT),
         interpret=interpret,
     )(
         xpad,
-        params["kernels"].astype(jnp.float32),
-        params["final_kernel"].astype(jnp.float32),
+        a_main,
+        a_left,
+        a_right,
         params["biases"].astype(jnp.float32),
         params["final_bias"].astype(jnp.float32),
         params["scales"].astype(jnp.float32),
