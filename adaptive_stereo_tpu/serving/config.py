@@ -31,3 +31,10 @@ class ServingConfig:
     publish_color_point_cloud: bool = True
     camera_intrinsics: np.ndarray = field(default_factory=_default_intrinsics)
     compute_dtype: str = "bfloat16"
+    # Fused Pallas cost-aggregation kernel for the forward pass. Measured on
+    # TPU v5e at the paper cost-volume shape: 1.358 ms vs 1.45 ms XLA bf16
+    # (artifacts/exp_agg_r2b.log) — a strict forward win, so serving defaults
+    # to it. Training paths keep the XLA stack (fwd+bwd parity: the kernel's
+    # VJP rematerializes the XLA twin). Auto-falls back off-TPU and for
+    # shapes the kernel does not cover.
+    pallas_aggregation: bool = True

@@ -100,6 +100,11 @@ class StereoDepthEngine:
         model = StereoModel(
             k=config.stereonet_k, input_scale=config.input_scale,
             dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else None,
+            # Forward-only engine: the fused kernel is a measured strict win
+            # on TPU (see ServingConfig.pallas_aggregation); off-TPU the
+            # interpreter path would be slower than XLA, so gate on backend.
+            pallas_aggregation=(config.pallas_aggregation
+                                and jax.default_backend() == "tpu"),
         )
         s = config.input_scale
 
