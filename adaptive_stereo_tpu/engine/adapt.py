@@ -193,9 +193,31 @@ class StateMachine:
         return self.ovs.size()
 
 
+def make_reconstruction_gate(gate_model, kind: str = "ae"):
+    """Gate-score fn for gate='reconstruction': mean-L1 reconstruction error
+    of the left image under a pretrained AE/VAE (the graveyard OOD signal,
+    reference graveyard/adapt_vae.py ~:400: `torch.abs(decoded - input).mean()`).
+
+    The VAE decodes from the posterior MEAN (no sampling) so the gate is
+    deterministic inside jit. Returns gate_apply(params, left) -> () f32.
+    """
+    if kind == "vae":
+        def gate_apply(params, left):
+            recon, _mu, _logvar = gate_model.apply(
+                {"params": params}, left, sample=False)
+            return jnp.mean(jnp.abs(recon - left))
+    else:
+        def gate_apply(params, left):
+            recon = gate_model.apply({"params": params}, left)
+            return jnp.mean(jnp.abs(recon - left))
+    return gate_apply
+
+
 def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
           splits_root: Optional[str] = None,
-          train_splits_root: Optional[str] = None) -> Dict:
+          train_splits_root: Optional[str] = None,
+          gate_model=None, gate_variables: Optional[dict] = None,
+          gate_kind: str = "ae") -> Dict:
     """Run online adaptation per the reference protocol (adapt.py:187-443).
 
     Args:
@@ -203,6 +225,11 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
       variables: optional pre-loaded {'params','batch_stats'}; otherwise
         loaded from cfg.load_weights_folder (torch or native format).
       splits_root: optional override for the splits directory.
+      gate_model / gate_variables / gate_kind: when cfg.adapt.gate ==
+        'reconstruction', the pretrained AE ('ae') or VAE ('vae') whose
+        image-reconstruction error replaces FCS as the novelty signal
+        (reference graveyard/adapt_vae.py; see analysis.reconstruction_ood
+        for the trainer). Novel iff recon loss > cfg.adapt.ood_threshold.
 
     Returns a summary dict (final metrics, gradient_updates, steps/sec).
     """
@@ -272,6 +299,16 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
         # no meaningful semantics. Fail loudly instead of silently diverging.
         raise ValueError("VS adaptation modes require batch_size=1")
 
+    use_recon_gate = ac.gate == "reconstruction"
+    gate_apply = None
+    gate_params = None
+    if use_recon_gate:
+        if gate_model is None or gate_variables is None:
+            raise ValueError(
+                "cfg.adapt.gate='reconstruction' requires gate_model and "
+                "gate_variables (see analysis.reconstruction_ood.train_autoencoder)")
+        gate_apply = make_reconstruction_gate(gate_model, gate_kind)
+        gate_params = gate_variables["params"]
     fused_step = make_fused_adapt_step(
         model, s, k, smoothness_weight=ac.smoothness_weight,
         er_loss_weight=ac.er_loss_weight, use_er=use_er, use_vs=use_vs,
@@ -279,7 +316,9 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
         clip_grad_norm=oc.clip_grad_norm,
         use_leftright=ac.leftright_consistency,
         consistency_weight=ac.consistency_weight,
+        gate=ac.gate, gate_apply=gate_apply,
     )
+    gate_score_fn = jax.jit(gate_apply) if use_recon_gate else None
     infer = make_infer_step(model, s, k, smoothness_weight=ac.smoothness_weight)
     eval_step = make_eval_step(model, s, k)
     viz_step = make_viz_step(model, s) if cfg.log_images else None
@@ -341,17 +380,23 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
                 # device gate applies it only if the frame is novel.
                 pre = sm.ovs.pre_decide(batch_idx) if use_vs else None
                 er_batch = er_item(step) if use_er else batch
-                state, ema, aux = fused_step(
-                    state, ema, batch, er_batch,
-                    jnp.asarray(pre.add if pre else False),
-                )
+                step_args = (state, ema, batch, er_batch,
+                             jnp.asarray(pre.add if pre else False))
+                if use_recon_gate:
+                    step_args = step_args + (gate_params,)
+                state, ema, aux = fused_step(*step_args)
                 fcs_raw = float(aux["fcs_raw"])
                 fcs_smoothed = float(aux["fcs_smoothed"])
                 image_is_novel = bool(aux["novel"])
                 did_add_to_ovs = False
                 if use_vs and image_is_novel:
-                    print(f"[ OOD ] Novel image detected! fcs_raw={fcs_raw:.3f} "
-                          f"fcs_smoothed={fcs_smoothed:.3f} threshold={ac.ood_threshold:.3f}")
+                    if use_recon_gate:
+                        print(f"[ OOD ] Novel image detected! "
+                              f"recon_loss={float(aux['gate_score']):.5f} "
+                              f"threshold={ac.ood_threshold:.5f}")
+                    else:
+                        print(f"[ OOD ] Novel image detected! fcs_raw={fcs_raw:.3f} "
+                              f"fcs_smoothed={fcs_smoothed:.3f} threshold={ac.ood_threshold:.3f}")
                     did_add_to_ovs = sm.commit_novel(
                         pre, batch[f"color_l/{s}"], batch[f"color_r/{s}"],
                         float(aux["Monodepth/total_loss"]), batch_idx)
@@ -372,10 +417,20 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
                     fcs_smoothed, fcs_raw, ac.fcs_ema_weight)
                 # Keep the device EMA consistent for a possible restart.
                 ema = (jnp.asarray(fcs_smoothed, jnp.float32), jnp.ones((), bool))
-                image_is_novel = fcs_smoothed < ac.ood_threshold
+                if use_recon_gate:
+                    gate_score = float(gate_score_fn(
+                        gate_params, batch[f"color_l/{s}"]))
+                    image_is_novel = gate_score > ac.ood_threshold
+                else:
+                    image_is_novel = fcs_smoothed < ac.ood_threshold
                 if use_vs and image_is_novel:
-                    print(f"[ OOD ] Novel image detected! fcs_raw={fcs_raw:.3f} "
-                          f"fcs_smoothed={fcs_smoothed:.3f} threshold={ac.ood_threshold:.3f}")
+                    if use_recon_gate:
+                        print(f"[ OOD ] Novel image detected! "
+                              f"recon_loss={gate_score:.5f} "
+                              f"threshold={ac.ood_threshold:.5f}")
+                    else:
+                        print(f"[ OOD ] Novel image detected! fcs_raw={fcs_raw:.3f} "
+                              f"fcs_smoothed={fcs_smoothed:.3f} threshold={ac.ood_threshold:.3f}")
                     # DONE state: classic add path (restarts adaptation).
                     sm.add_to_ovs(batch[f"color_l/{s}"], batch[f"color_r/{s}"],
                                   float(aux["Monodepth/total_loss"]), batch_idx)

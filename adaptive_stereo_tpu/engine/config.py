@@ -68,6 +68,11 @@ class AdaptConfig:
     val_improve_retries: int = 1
     eval_hz: int = 1000
     er_loss_weight: float = 0.05
+    # Novelty signal for the OOD gate: 'fcs' (live reference path, novel iff
+    # smoothed FCS < ood_threshold) | 'reconstruction' (graveyard
+    # adapt_vae.py baseline: novel iff AE/VAE recon loss > ood_threshold;
+    # pass gate_model/gate_variables to engine.adapt.adapt).
+    gate: str = "fcs"
     ood_threshold: float = 15.0
     fcs_ema_weight: float = 0.999
     smoothness_weight: float = 1e-3

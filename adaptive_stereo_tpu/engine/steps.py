@@ -308,6 +308,8 @@ def make_fused_adapt_step(
     clip_grad_norm: bool = False,
     use_leftright: bool = False,
     consistency_weight: float = 1e-3,
+    gate: str = "fcs",
+    gate_apply=None,
 ):
     """The WHOLE adaptation step as ONE XLA program: forward + Monodepth loss
     + FCS + replay + backward + OOD gate + masked Adam update.
@@ -334,17 +336,32 @@ def make_fused_adapt_step(
     code, see ops/losses.py). FCS comes from the left-centered half of the
     batched cost volume.
 
-    Returns step(state, ema, batch, er_batch, would_add_if_novel)
+    gate: novelty signal feeding the OOD gate (VS modes).
+      "fcs" (default): novel iff smoothed FCS < ood_threshold (the live
+      reference path, adapt.py:351-378).
+      "reconstruction": novel iff an image-reconstruction score EXCEEDS
+      ood_threshold (the reference's deprecated graveyard approach,
+      graveyard/adapt_vae.py ~:400-420: `recon_loss.item() > opt.ood_threshold`,
+      raw — no EMA smoothing). Requires gate_apply(gate_params, left_image)
+      -> scalar reconstruction loss (see engine.adapt.make_reconstruction_gate)
+      and the returned step takes gate_params as a trailing argument. The FCS
+      EMA is still computed and logged for comparison.
+
+    Returns step(state, ema, batch, er_batch, would_add_if_novel[, gate_params])
       -> (new_state, new_ema, aux) where ema = (value, initialized) and aux
-      holds fcs_raw/fcs_smoothed/novel/did_add/losses/EPE scalars.
+      holds fcs_raw/fcs_smoothed/novel/did_add/losses/EPE scalars (plus
+      gate_score under the reconstruction gate).
     """
+    if gate not in ("fcs", "reconstruction"):
+        raise ValueError(f"unknown gate {gate!r}")
+    if gate == "reconstruction" and gate_apply is None:
+        raise ValueError("gate='reconstruction' requires gate_apply")
     coarse = input_scale + k
     # Static disparity bound for the warp's banded one-hot matmul
     # (ops/warp.py): model maxdisp expressed at the loss scale.
     warp_max_disp = -(-model.maxdisp // 2 ** input_scale)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state, ema, batch, er_batch, would_add_if_novel):
+    def step_body(state, ema, batch, er_batch, would_add_if_novel, gate_params):
         left = batch[f"color_l/{input_scale}"]
         right = batch[f"color_r/{input_scale}"]
 
@@ -419,8 +436,15 @@ def make_fused_adapt_step(
             fcs_raw,
         )
         new_ema = (smoothed, jnp.ones((), bool))
+        gate_score = None
+        if gate == "reconstruction":
+            gate_score = gate_apply(gate_params, left)
         if use_vs:
-            novel = smoothed < ood_threshold
+            if gate == "reconstruction":
+                # Graveyard direction: HIGH reconstruction error => novel.
+                novel = gate_score > ood_threshold
+            else:
+                novel = smoothed < ood_threshold
             did_add = jnp.logical_and(novel, would_add_if_novel)
         else:
             novel = jnp.zeros((), bool)
@@ -449,10 +473,23 @@ def make_fused_adapt_step(
         aux["novel"] = novel
         aux["did_add"] = did_add
         aux["do_update"] = do_update
+        if gate_score is not None:
+            aux["gate_score"] = gate_score
         gt_key = f"gt_disp_l/{input_scale}"
         if gt_key in batch:
             aux["EPE"] = _epe(pred, batch[gt_key])
         return new_state, new_ema, aux
+
+    if gate == "reconstruction":
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, ema, batch, er_batch, would_add_if_novel, gate_params):
+            return step_body(state, ema, batch, er_batch, would_add_if_novel,
+                             gate_params)
+    else:
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, ema, batch, er_batch, would_add_if_novel):
+            return step_body(state, ema, batch, er_batch, would_add_if_novel,
+                             None)
 
     return step
 

@@ -9,7 +9,7 @@ this package used for golden-value testing.
 from .cost_volume import difference_cost_volume
 from .soft_argmin import soft_argmin, softmax_disparity
 from .fcs import feature_contrast_mean, feature_contrast_median
-from .warp import linear_warp
+from .warp import convert_disp_to_flow, linear_warp
 from .losses import (
     khamis_robust_loss,
     khamis_robust_loss_multiscale,

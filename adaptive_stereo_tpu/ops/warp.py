@@ -176,3 +176,34 @@ def linear_warp(
         warped = _warp_onehot(img_v, px, w, max_disp, right_to_left)
 
     return warped.astype(img.dtype), valid[..., None]
+
+
+def convert_disp_to_flow(positive_disp: jnp.ndarray, height: int,
+                         width: int) -> jnp.ndarray:
+    """Left positive-disparity map -> normalized "flow" sampling grid.
+
+    F(x, y) = (x - d(x, y), y), normalized with the reference's
+    align_corners=True formula u = 2*x/W - 1 (debug/testing utility;
+    reference adaptive_stereo/models/linear_warping.py:88-121 — the sibling
+    DispToFlow module there is dead code: it returns an undefined
+    `valid_mask`, linear_warping.py:85, so only this functional form is
+    implemented).
+
+    Args:
+      positive_disp: (B, H, W, 1) or (B, H, W) left-centered disparities
+        (positive = source pixel lies `d` columns to the LEFT in the right
+        image).
+
+    Returns:
+      (B, H, W, 2) float32 grid of normalized (u, v) coordinates.
+    """
+    if positive_disp.ndim == 4:
+        disp = positive_disp[..., 0]
+    else:
+        disp = positive_disp
+    b = disp.shape[0]
+    cols = jnp.arange(width, dtype=jnp.float32)[None, None, :]
+    rows = jnp.arange(height, dtype=jnp.float32)[None, :, None]
+    u = 2.0 * (cols - disp.astype(jnp.float32)) / width - 1.0
+    v = jnp.broadcast_to(2.0 * rows / height - 1.0, (b, height, width))
+    return jnp.stack([u, v], axis=-1)

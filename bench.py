@@ -45,6 +45,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from adaptive_stereo_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from adaptive_stereo_tpu.engine import create_train_state
     from adaptive_stereo_tpu.models import StereoModel
 

@@ -132,6 +132,75 @@ def gen_kitti_raw(dataset_path: str, output: str, drives, adaptation: bool = Tru
     write_lines(output, "test", lines)
 
 
+# The 21 KITTI-raw "residential" category drives (reference
+# splits/kitti_raw_residential_adapt/generate_split.py:4-26; the manifest
+# itself is a missing large blob in the mount, so this list is the spec).
+KITTI_RAW_RESIDENTIAL_SEQUENCES = [
+    "2011_09_26_drive_0019_sync",
+    "2011_09_26_drive_0020_sync",
+    "2011_09_26_drive_0022_sync",
+    "2011_09_26_drive_0023_sync",
+    "2011_09_26_drive_0035_sync",
+    "2011_09_26_drive_0036_sync",
+    "2011_09_26_drive_0039_sync",
+    "2011_09_26_drive_0046_sync",
+    "2011_09_26_drive_0061_sync",
+    "2011_09_26_drive_0064_sync",
+    "2011_09_26_drive_0079_sync",
+    "2011_09_26_drive_0086_sync",
+    "2011_09_26_drive_0087_sync",
+    "2011_09_30_drive_0018_sync",
+    "2011_09_30_drive_0020_sync",
+    "2011_09_30_drive_0027_sync",
+    "2011_09_30_drive_0028_sync",
+    "2011_09_30_drive_0033_sync",
+    "2011_09_30_drive_0034_sync",
+    "2011_10_03_drive_0027_sync",
+    "2011_10_03_drive_0034_sync",
+]
+
+# The sim2real pairing: 5 scenes x 10 weather/viewpoint variations
+# (reference splits/virtual_kitti_sim2real/generate_split.py:5-6).
+VKITTI_SIM2REAL_SCENES = ["Scene01", "Scene02", "Scene06", "Scene18", "Scene20"]
+VKITTI_SIM2REAL_VARIATIONS = [
+    "15-deg-left", "15-deg-right", "30-deg-left", "30-deg-right",
+    "clone", "fog", "morning", "overcast", "rain", "sunset",
+]
+
+
+def gen_kitti_raw_residential(dataset_path: str, output: str):
+    """The kitti_raw_residential_adapt split: every frame of the 21
+    residential drives, sequence order, train == val (adaptation split)."""
+    drives = [os.path.join(seq[:10], seq)
+              for seq in KITTI_RAW_RESIDENTIAL_SEQUENCES]
+    gen_kitti_raw(dataset_path, output, drives)
+
+
+def gen_vkitti_sim2real(dataset_path: str, output: str):
+    """The virtual_kitti_sim2real split: ALL frames of 5 scenes x 10
+    variations, both cameras' rgb jpg + depth png paired by sorted order,
+    paths relative to the dataset root (reference generate_split.py:28-31
+    strips the root prefix; train manifest only)."""
+    import glob as _glob
+
+    lines = []
+    for scene in VKITTI_SIM2REAL_SCENES:
+        for var in VKITTI_SIM2REAL_VARIATIONS:
+            frames = os.path.join(dataset_path, scene, var, "frames")
+            rgb_l = sorted(_glob.glob(os.path.join(frames, "rgb", "Camera_0", "*.jpg")))
+            rgb_r = sorted(_glob.glob(os.path.join(frames, "rgb", "Camera_1", "*.jpg")))
+            disp_l = sorted(_glob.glob(os.path.join(frames, "depth", "Camera_0", "*.png")))
+            disp_r = sorted(_glob.glob(os.path.join(frames, "depth", "Camera_1", "*.png")))
+            if not (len(rgb_l) == len(rgb_r) == len(disp_l) == len(disp_r)):
+                raise ValueError(
+                    f"{scene}/{var}: unpaired frames "
+                    f"({len(rgb_l)}/{len(rgb_r)} rgb, {len(disp_l)}/{len(disp_r)} depth)")
+            for fl, fr, dl, dr in zip(rgb_l, rgb_r, disp_l, disp_r):
+                rel = [os.path.relpath(p, dataset_path) for p in (fl, fr, dl, dr)]
+                lines.append(" ".join(rel))
+    write_lines(output, "train", lines)
+
+
 def gen_kitti_stereo_2015(dataset_path: str, output: str, seed: int):
     base = os.path.join(dataset_path, "training")
     lines = []
@@ -163,6 +232,8 @@ def main():
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("family", choices=["sceneflow-flying", "sceneflow-driving",
                                       "vkitti", "kitti-raw",
+                                      "kitti-raw-residential",
+                                      "vkitti-sim2real",
                                       "kitti-stereo-2015", "er-subsample"])
     p.add_argument("--dataset_path", type=str, default="")
     p.add_argument("--output", type=str, required=True)
@@ -183,6 +254,10 @@ def main():
         gen_vkitti(a.dataset_path, a.output, a.scene, a.variation, a.adaptation)
     elif a.family == "kitti-raw":
         gen_kitti_raw(a.dataset_path, a.output, a.drives)
+    elif a.family == "kitti-raw-residential":
+        gen_kitti_raw_residential(a.dataset_path, a.output)
+    elif a.family == "vkitti-sim2real":
+        gen_vkitti_sim2real(a.dataset_path, a.output)
     elif a.family == "kitti-stereo-2015":
         gen_kitti_stereo_2015(a.dataset_path, a.output, a.seed)
     elif a.family == "er-subsample":

@@ -330,3 +330,60 @@ def test_adapt_leftright_consistency_mode(pretrained, roots, tmp_path):
     result = adapt(cfg, variables=variables)
     assert result["gradient_updates"] == 6
     assert np.isfinite(result["final_metrics"]["adapt"]["EPE"])
+
+
+def test_adapt_reconstruction_gate(pretrained, roots, tmp_path):
+    """gate='reconstruction' (graveyard adapt_vae.py baseline): an AE trained
+    on the TRAIN domain scores the shifted domain's frames above the derived
+    threshold, so they are flagged novel and diverted to the OVS — fewer
+    gradient updates than steps — while a +inf threshold gates nothing."""
+    import jax.numpy as jnp
+
+    from adaptive_stereo_tpu.analysis.reconstruction_ood import (
+        reconstruction_scores,
+        train_autoencoder,
+    )
+    from adaptive_stereo_tpu.data import BatchLoader, StereoDataset
+    from adaptive_stereo_tpu.engine import adapt
+
+    variables, _ = pretrained
+    train_root, novel_root = roots
+
+    def loader(root, split_kind):
+        ds = StereoDataset(root, "Synthetic", "synth", H, W, split_kind,
+                           scales=[S, S + K], do_hflip=False, random_crop=False)
+        return BatchLoader(ds, 2, shuffle=False, num_workers=0, seed=0)
+
+    gate_model, gate_vars, _losses = train_autoencoder(
+        loader(train_root, "train"), input_scale=S, num_steps=40,
+        learning_rate=3e-4, latent_channels=8, stages=2, seed=7)
+
+    train_scores = reconstruction_scores(gate_model, gate_vars,
+                                         loader(train_root, "train"),
+                                         input_scale=S)
+    novel_scores = reconstruction_scores(gate_model, gate_vars,
+                                         loader(novel_root, "train"),
+                                         input_scale=S)
+    # The domain shift must be visible to the reconstruction signal.
+    assert novel_scores.mean() > train_scores.mean()
+    threshold = float(0.5 * (train_scores.mean() + novel_scores.mean()))
+
+    def run(name, thr):
+        cfg = _cfg(train_root, str(tmp_path), name,
+                   adapt_mode="VS", num_steps=12, eval_hz=0,
+                   ovs_buffer_size=4, ovs_validate_hz=6, val_improve_retries=3,
+                   gate="reconstruction", ood_threshold=thr,
+                   skip_initial_eval=True,
+                   train_dataset_path=train_root,
+                   train_dataset_name="Synthetic", train_split="synth")
+        cfg.data.dataset_path = novel_root
+        cfg.data.batch_size = 1
+        return adapt(cfg, variables=variables, gate_model=gate_model,
+                     gate_variables=gate_vars, gate_kind="ae")
+
+    gated = run("adapt_recon_gate", threshold)
+    assert gated["steps"] == 12
+    assert gated["gradient_updates"] < 12, gated
+
+    ungated = run("adapt_recon_gate_inf", float("inf"))
+    assert ungated["gradient_updates"] == 12, ungated

@@ -169,3 +169,18 @@ def test_online_ema_parity():
         s = ref_online_ema(s, v, weight=0.9)
         ours = ops.online_ema(ours, v, weight=0.9)
     assert abs(s - ours) < 1e-12
+
+
+def test_convert_disp_to_flow_parity():
+    """ops.convert_disp_to_flow vs the reference's functional torch version
+    (linear_warping.py:88-121; the DispToFlow module there is dead code —
+    returns an undefined valid_mask at :85)."""
+    from adaptive_stereo.models.linear_warping import convert_disp_to_flow as ref_fn
+
+    rng = np.random.RandomState(3)
+    b, h, w = 2, 12, 20
+    disp = rng.rand(b, h, w, 1).astype(np.float32) * 6.0
+
+    ours = np.asarray(ops.convert_disp_to_flow(jnp.asarray(disp), h, w))
+    ref = ref_fn(nchw(disp), h, w).numpy()  # (b, h, w, 2) already channel-last
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)

@@ -116,3 +116,82 @@ def test_kitti_raw_absolute_path_rebase():
     )
     # Relative lines join onto the dataset path unchanged.
     assert d._resolve("a/b.png") == "/data/kitti_raw/a/b.png"
+
+
+def _touch(path):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("x")
+
+
+def _load_genmod():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "generate_splits",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "generate_splits.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_generate_kitti_raw_residential(tmp_path):
+    """Generator for the mount-missing kitti_raw_residential_adapt manifest
+    (reference splits/kitti_raw_residential_adapt/generate_split.py): all 21
+    residential drives, sequence order, train == val."""
+    gen = _load_genmod()
+    root = str(tmp_path / "kitti_raw")
+    n_frames = 3
+    for seq in gen.KITTI_RAW_RESIDENTIAL_SEQUENCES:
+        drive = os.path.join(root, seq[:10], seq)
+        for i in range(n_frames):
+            _touch(os.path.join(drive, "image_02", "data", f"{i:010d}.jpg"))
+            _touch(os.path.join(drive, "image_03", "data", f"{i:010d}.jpg"))
+            _touch(os.path.join(drive, "disp_02", "data", f"{i:010d}.npy"))
+            _touch(os.path.join(drive, "disp_03", "data", f"{i:010d}.npy"))
+    out = str(tmp_path / "split_out")
+    gen.gen_kitti_raw_residential(root, out)
+
+    train = read_lines(os.path.join(out, "train_lines.txt"))
+    val = read_lines(os.path.join(out, "val_lines.txt"))
+    assert train == val
+    assert len(train) == 21 * n_frames
+    first = train[0].split(" ")
+    assert len(first) == 4
+    assert "2011_09_26_drive_0019_sync" in first[0]  # sequence order kept
+    assert first[0].endswith(".jpg") and first[2].endswith(".npy")
+    assert "image_03" in first[1] and "disp_03" in first[3]
+
+
+def test_generate_vkitti_sim2real(tmp_path):
+    """Generator for the mount-missing virtual_kitti_sim2real manifest
+    (reference splits/virtual_kitti_sim2real/generate_split.py): 5 scenes x
+    10 variations, sorted-order rgb/depth pairing, root-relative paths,
+    train manifest only."""
+    gen = _load_genmod()
+    root = str(tmp_path / "vkitti")
+    n_frames = 2
+    for scene in gen.VKITTI_SIM2REAL_SCENES:
+        for var in gen.VKITTI_SIM2REAL_VARIATIONS:
+            frames = os.path.join(root, scene, var, "frames")
+            for i in range(n_frames):
+                for cam in ("Camera_0", "Camera_1"):
+                    _touch(os.path.join(frames, "rgb", cam, f"rgb_{i:05d}.jpg"))
+                    _touch(os.path.join(frames, "depth", cam, f"depth_{i:05d}.png"))
+    out = str(tmp_path / "split_out")
+    gen.gen_vkitti_sim2real(root, out)
+
+    train = read_lines(os.path.join(out, "train_lines.txt"))
+    assert len(train) == 5 * 10 * n_frames
+    first = train[0].split(" ")
+    assert len(first) == 4
+    assert not first[0].startswith("/")  # relative to the dataset root
+    assert first[0].startswith("Scene01/15-deg-left/frames/rgb/Camera_0/")
+    assert first[3].startswith("Scene01/15-deg-left/frames/depth/Camera_1/")
+
+    # Unpaired frames must fail loudly, not silently misalign.
+    os.remove(os.path.join(root, "Scene20", "sunset", "frames", "depth",
+                           "Camera_1", "depth_00001.png"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        gen.gen_vkitti_sim2real(root, str(tmp_path / "split_out2"))
