@@ -244,6 +244,7 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
     model = StereoModel(
         k=k, input_scale=s, maxdisp=mc.maxdisp,
         dtype=jnp.bfloat16 if mc.compute_dtype == "bfloat16" else None,
+        fused_siamese=mc.fused_siamese, s2d_refinement=mc.s2d_refinement,
     )
     if variables is None:
         if cfg.load_weights_folder is None:

@@ -67,6 +67,20 @@ def load_checkpoint(folder: str, state):
     )
 
 
+def save_variables(folder: str, variables: Dict[str, Any],
+                   metadata: Optional[Dict[str, Any]] = None) -> str:
+    """Save bare {'params','batch_stats'} (no optimizer state) in the same
+    msgpack container load_variables reads."""
+    os.makedirs(folder, exist_ok=True)
+    payload = {"params": variables["params"],
+               "batch_stats": variables["batch_stats"]}
+    with open(os.path.join(folder, "state.msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(jax.device_get(payload)))
+    with open(os.path.join(folder, "meta.json"), "w") as f:
+        json.dump(metadata or {}, f, indent=2, sort_keys=True)
+    return folder
+
+
 def load_variables(folder: str) -> Dict[str, Any]:
     """Load only {'params','batch_stats'} from a checkpoint folder — either
     our msgpack format or a reference torch weights folder

@@ -24,6 +24,11 @@ class ModelConfig:
     input_scale: int = 0           # input/output scale (1 = 1/2 resolution)
     maxdisp: int = 192             # max disparity at FULL resolution
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' (params stay f32)
+    # Performance options (documented BN-batching deviation / exact layout
+    # twin — see PERFORMANCE.md "BN deviations A/B" for the measured
+    # behavioral cost at paper scale):
+    fused_siamese: bool = False    # one batch-2 feature forward per view pair
+    s2d_refinement: bool = False   # space-to-depth refinement tower (exact)
 
     @property
     def scales(self) -> List[int]:

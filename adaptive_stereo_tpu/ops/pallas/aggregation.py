@@ -271,24 +271,26 @@ def _kernel(xpad_ref, am_ref, al_ref, ar_ref, b_ref, bf_ref, sc_ref, bb_ref,
         if final:
             continue
 
-        # BatchNorm statistics over the whole batch (borders are zero and
-        # contribute nothing; count uses the true interior size). f32,
-        # fast-variance — flax semantics.
-        s1 = jnp.zeros((1, _LANES), jnp.float32)
-        s2 = jnp.zeros((1, _LANES), jnp.float32)
-        for b in range(B):
-            yb = dst_ref[b].astype(jnp.float32)
-            s1 = s1 + jnp.sum(yb, axis=0, keepdims=True)
-            s2 = s2 + jnp.sum(yb * yb, axis=0, keepdims=True)
-        # (1, 128) phase-folded+tiled means: every lane p*32+c holds mu_c.
-        mu_t = jnp.dot(s1, fold_tile,
-                       preferred_element_type=jnp.float32) / count
-        var_t = jnp.dot(s2, fold_tile,
-                        preferred_element_type=jnp.float32) / count - mu_t * mu_t
         if train:
+            # BatchNorm statistics over the whole batch (borders are zero and
+            # contribute nothing; count uses the true interior size). f32,
+            # fast-variance — flax semantics.
+            s1 = jnp.zeros((1, _LANES), jnp.float32)
+            s2 = jnp.zeros((1, _LANES), jnp.float32)
+            for b in range(B):
+                yb = dst_ref[b].astype(jnp.float32)
+                s1 = s1 + jnp.sum(yb, axis=0, keepdims=True)
+                s2 = s2 + jnp.sum(yb * yb, axis=0, keepdims=True)
+            # (1, 128) phase-folded+tiled means: every lane p*32+c holds mu_c.
+            mu_t = jnp.dot(s1, fold_tile,
+                           preferred_element_type=jnp.float32) / count
+            var_t = jnp.dot(s2, fold_tile,
+                            preferred_element_type=jnp.float32) / count - mu_t * mu_t
             mu_ref[layer] = mu_t[0, :_C]
             var_ref[layer] = var_t[0, :_C]
         else:
+            # Eval mode: running statistics only — the batch-stat sums and
+            # fold matmuls are skipped entirely (serving-path cost).
             mu_t = jnp.concatenate([rm_ref[layer]] * _PHASES)[None, :]
             var_t = jnp.concatenate([rv_ref[layer]] * _PHASES)[None, :]
             mu_ref[layer] = rm_ref[layer]

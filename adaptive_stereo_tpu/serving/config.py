@@ -32,9 +32,15 @@ class ServingConfig:
     camera_intrinsics: np.ndarray = field(default_factory=_default_intrinsics)
     compute_dtype: str = "bfloat16"
     # Fused Pallas cost-aggregation kernel for the forward pass. Measured on
-    # TPU v5e at the paper cost-volume shape: 1.358 ms vs 1.45 ms XLA bf16
-    # (artifacts/exp_agg_r2b.log) — a strict forward win, so serving defaults
-    # to it. Training paths keep the XLA stack (fwd+bwd parity: the kernel's
-    # VJP rematerializes the XLA twin). Auto-falls back off-TPU and for
-    # shapes the kernel does not cover.
-    pallas_aggregation: bool = True
+    # TPU v5e at the paper cost-volume shape in the modes that matter:
+    #   train-mode B=2 (streaming fwd):  1.358 vs 1.45 ms XLA bf16 (faster;
+    #     artifacts/exp_agg_r2b.log)
+    #   EVAL-mode   B=1 (this config):   0.733 vs 0.690 ms XLA bf16 (SLOWER;
+    #     parity verified, artifacts/exp_agg_eval_r3.log)
+    #   EVAL-mode   B=2 (batched DONE):  0.821 vs 1.061 ms XLA bf16 (faster)
+    # The sync serving path is batch-1 eval, where the kernel loses — so the
+    # default is OFF; enable for batched (B>=2) pipelines. Training paths
+    # keep the XLA stack (fwd+bwd parity: the kernel's VJP rematerializes
+    # the XLA twin). Auto-falls back off-TPU and for shapes the kernel does
+    # not cover.
+    pallas_aggregation: bool = False

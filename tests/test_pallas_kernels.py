@@ -252,3 +252,29 @@ def test_model_with_pallas_aggregation_matches_without(train):
     for a, b in zip(jax.tree.leaves(mut0), jax.tree.leaves(mut1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_aggregation_kernel_eval_bf16_consistent_stats():
+    """Eval-mode bf16 parity under CONSISTENT running stats (the serving
+    regime: rs ~ the activation distribution). With arbitrary rs the
+    normalization stops bounding layer-to-layer growth and legitimate bf16
+    noise amplifies exponentially in both paths — that regime is outside the
+    serving contract (measured: random rs -> maxd 1.6 vs consistent rs ->
+    0.094 at paper shape; scripts/exp_agg_eval.py for the TPU run)."""
+    from adaptive_stereo_tpu.ops.pallas import (
+        aggregate_cost_volume_pallas, aggregate_cost_volume_ref)
+
+    rng = np.random.RandomState(3)
+    params = _agg_params(rng)
+    cost = jnp.asarray(rng.randn(1, 12, 4, 8, 32), jnp.bfloat16)
+    # rs := this data's own batch statistics (what training would converge to)
+    _, mu, var = aggregate_cost_volume_ref(
+        cost, params, (jnp.zeros((4, 32)), jnp.ones((4, 32))), True)
+
+    o_ref = np.asarray(
+        aggregate_cost_volume_ref(cost, params, (mu, var), False)[0], np.float32)
+    o_pl = np.asarray(
+        aggregate_cost_volume_pallas(cost, params, (mu, var), False)[0], np.float32)
+    tol = 0.05 + 0.05 * np.abs(o_ref)
+    bad = int((np.abs(o_pl - o_ref) > tol).sum())
+    assert bad == 0, (bad, float(np.abs(o_pl - o_ref).max()))
