@@ -39,14 +39,30 @@ def _resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
     return out
 
 
-def _load_rgb(path: str) -> np.ndarray:
+def _load_rgb(path: str, uint8: bool = False) -> np.ndarray:
+    """Decode an RGB image. cv2's decoder releases the GIL for the whole
+    libpng/libjpeg pass (PIL only partially), which is what lets the
+    BatchLoader threads scale; PIL remains the fallback for exotic formats.
+
+    uint8=True keeps the native 8-bit pixels end-to-end — the streaming
+    engines upload uint8 and normalize on-device (flat_stream
+    images_uint8), so converting to f32 here would just quadruple the
+    decode-thread memory traffic and the host->device transfer.
+    """
+    import cv2 as cv
+
+    bgr = cv.imread(path, cv.IMREAD_COLOR)
+    if bgr is not None:
+        rgb = np.ascontiguousarray(bgr[:, :, ::-1])
+        return rgb if uint8 else rgb.astype(np.float32) / 255.0
     from PIL import Image
 
     img = Image.open(path)
-    arr = np.asarray(img, np.float32) / 255.0
+    arr = np.asarray(img)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
-    return arr[..., :3]
+    arr = arr[..., :3]
+    return arr if uint8 else arr.astype(np.float32) / 255.0
 
 
 class StereoDataset:
@@ -67,6 +83,7 @@ class StereoDataset:
         load_disp_right: bool = True,
         splits_root: Optional[str] = None,
         seed: int = 123,
+        color_uint8: bool = False,
     ):
         self.dataset_path = dataset_path
         self.dataset_name = dataset_name
@@ -77,6 +94,10 @@ class StereoDataset:
         self.random_crop = random_crop
         self.load_disp_left = load_disp_left
         self.load_disp_right = load_disp_right
+        # uint8 colors end-to-end (streaming fast path: the engines'
+        # images_uint8 transfer normalizes on-device; f32 here would only
+        # inflate decode-thread traffic and the host->device copy 4x).
+        self.color_uint8 = color_uint8
         self._rng = random.Random(seed)
 
         if splits_root is None:
@@ -130,8 +151,8 @@ class StereoDataset:
         paths = [self._resolve(p) for p in self.lines[index].split(" ")]
         rgb_l_path, rgb_r_path, disp_l_path, disp_r_path = paths
 
-        rgb_l = _load_rgb(rgb_l_path)
-        rgb_r = _load_rgb(rgb_r_path)
+        rgb_l = _load_rgb(rgb_l_path, uint8=self.color_uint8)
+        rgb_r = _load_rgb(rgb_r_path, uint8=self.color_uint8)
         disp_l = self.load_disp_fn(disp_l_path) if self.load_disp_left else None
         disp_r = self.load_disp_fn(disp_r_path) if self.load_disp_right else None
 

@@ -24,6 +24,11 @@ from ..ops.pallas.aggregation import (
     aggregate_cost_volume_ref,
     aggregation_pallas_supported,
 )
+from ..ops.pallas.coarse_head import (
+    coarse_head_pallas,
+    coarse_head_pallas_supported,
+    coarse_head_ref,
+)
 
 _MOMENTUM = 0.9
 _EPS = 1e-5
@@ -77,18 +82,11 @@ class _ConvBN3DVars(nn.Module):
         return kernel, bias, scale, bn_bias, ra_mean, ra_var
 
 
-def apply_pallas_aggregation(mdl: nn.Module, cost: jnp.ndarray,
-                             train: bool) -> jnp.ndarray:
-    """Run the 5-layer aggregation stack via the fused Pallas kernel.
-
-    Must be called from within StereoNet's compact __call__ so the twin
-    submodules land at stereo_net/filter_i and stereo_net/conv3d_alone.
-    Returns the pre-softmax cost (B, D, H, W, 1) — same rank contract as the
-    standard nn.Conv path.
-    """
+def _declare_stack_vars(mdl: nn.Module):
+    """Declare the aggregation stack's twin parameter tree on `mdl` and
+    return (params dict, run_stats tuple, running-stat Variable handles)."""
     layers = [_ConvBN3DVars(name=f"filter_{i}")() for i in range(4)]
     fk, fb = _Conv3DVars(1, 32, name="conv3d_alone")()
-
     params = {
         "kernels": jnp.stack([l[0] for l in layers]),
         "biases": jnp.stack([l[1] for l in layers]),
@@ -99,6 +97,53 @@ def apply_pallas_aggregation(mdl: nn.Module, cost: jnp.ndarray,
     }
     run_stats = (jnp.stack([l[4].value for l in layers]),
                  jnp.stack([l[5].value for l in layers]))
+    return params, run_stats, layers
+
+
+def _update_running_stats(layers, mu, var):
+    for i, l in enumerate(layers):
+        l[4].value = _MOMENTUM * l[4].value + (1 - _MOMENTUM) * mu[i]
+        l[5].value = _MOMENTUM * l[5].value + (1 - _MOMENTUM) * var[i]
+
+
+def apply_pallas_coarse_head(mdl: nn.Module, left_features, right_features,
+                             num_disp: int, train: bool):
+    """Run the ENTIRE coarse head (cost volume + aggregation + soft-argmin +
+    FCS) via the fused Pallas kernel (ops/pallas/coarse_head.py).
+
+    Must be called from within StereoNet's compact __call__ (declares the
+    same filter_i/conv3d_alone twin tree as apply_pallas_aggregation, so
+    checkpoints and the torch importer work unchanged). Returns
+    (disp (B, h, w) f32, fcs (B, h, w) f32).
+    """
+    params, run_stats, layers = _declare_stack_vars(mdl)
+
+    if (coarse_head_pallas_supported(left_features.shape, num_disp,
+                                     left_features.dtype)
+            and not mdl.is_initializing()):
+        disp, fcs, mu, var = coarse_head_pallas(
+            left_features, right_features, params, run_stats, num_disp,
+            train, _EPS)
+    else:
+        disp, fcs, mu, var = coarse_head_ref(
+            left_features, right_features, params, run_stats, train,
+            num_disp, _EPS)
+
+    if train and not mdl.is_initializing():
+        _update_running_stats(layers, mu, var)
+    return disp, fcs
+
+
+def apply_pallas_aggregation(mdl: nn.Module, cost: jnp.ndarray,
+                             train: bool) -> jnp.ndarray:
+    """Run the 5-layer aggregation stack via the fused Pallas kernel.
+
+    Must be called from within StereoNet's compact __call__ so the twin
+    submodules land at stereo_net/filter_i and stereo_net/conv3d_alone.
+    Returns the pre-softmax cost (B, D, H, W, 1) — same rank contract as the
+    standard nn.Conv path.
+    """
+    params, run_stats, layers = _declare_stack_vars(mdl)
 
     if (aggregation_pallas_supported(cost.shape, cost.dtype)
             and not mdl.is_initializing()):
@@ -111,7 +156,5 @@ def apply_pallas_aggregation(mdl: nn.Module, cost: jnp.ndarray,
             cost, params, run_stats, train, _EPS)
 
     if train and not mdl.is_initializing():
-        for i, l in enumerate(layers):
-            l[4].value = _MOMENTUM * l[4].value + (1 - _MOMENTUM) * mu[i]
-            l[5].value = _MOMENTUM * l[5].value + (1 - _MOMENTUM) * var[i]
+        _update_running_stats(layers, mu, var)
     return out[..., None]

@@ -219,6 +219,12 @@ class StereoNet(nn.Module):
     # all five layers in one VMEM-resident kernel; identical parameter tree
     # (models/pallas_aggregation.py).
     pallas_aggregation: bool = False
+    # Fused Pallas coarse head (ops/pallas/coarse_head.py): cost-volume
+    # build + the 5-layer aggregation + soft-argmin + FCS in ONE
+    # VMEM-resident kernel; same parameter tree. Used when the cost volume
+    # itself is not requested as an output (otherwise falls through to the
+    # composed path, which can materialize it).
+    fused_coarse_head: bool = False
 
     @nn.compact
     def __call__(
@@ -232,6 +238,17 @@ class StereoNet(nn.Module):
     ) -> Dict[str, jnp.ndarray]:
         num_disp = coarse_num_disparities(self.maxdisp, self.input_scale, self.k)
         outputs: Dict[str, jnp.ndarray] = {}
+        coarse_scale = self.input_scale + self.k
+
+        if self.fused_coarse_head and not output_cost_volume:
+            from .pallas_aggregation import apply_pallas_coarse_head
+
+            fl, fr = left_features, right_features
+            if self.dtype is not None:
+                fl, fr = fl.astype(self.dtype), fr.astype(self.dtype)
+            pred, fcs = apply_pallas_coarse_head(self, fl, fr, num_disp, train)
+            outputs[f"fcs_{side}/{coarse_scale}"] = fcs
+            return self._finish(outputs, pred, left_img, side, train)
 
         if self.use_pallas:
             from ..ops.pallas import difference_cost_volume_pallas
@@ -256,7 +273,6 @@ class StereoNet(nn.Module):
 
         # (B, D, h, w): soft-argmin over the disparity axis in float32.
         cost = jnp.squeeze(cost, -1).astype(jnp.float32)
-        coarse_scale = self.input_scale + self.k
         if self.use_pallas:
             from ..ops.pallas import soft_argmin_fcs_pallas
 
@@ -271,6 +287,12 @@ class StereoNet(nn.Module):
         if output_cost_volume:
             outputs[f"cost_volume_{side}/{coarse_scale}"] = cost
 
+        return self._finish(outputs, pred, left_img, side, train)
+
+    def _finish(self, outputs, pred, left_img, side, train):
+        """Coarse upsample (x2^k quirk, reference stereo_net.py:201) +
+        edge-aware refinement — shared tail of both coarse-head paths."""
+        coarse_scale = self.input_scale + self.k
         h, w = left_img.shape[1], left_img.shape[2]
         outputs[f"pred_disp_{side}/{coarse_scale}"] = (2 ** self.k) * resize_bilinear(
             pred[..., None], (h, w)
@@ -307,13 +329,15 @@ class StereoModel(nn.Module):
     fused_siamese: bool = False
     s2d_refinement: bool = False
     pallas_aggregation: bool = False
+    fused_coarse_head: bool = False
 
     def setup(self):
         self.feature_net = FeatureExtractorNetwork(self.k, self.dtype)
         self.stereo_net = StereoNet(self.k, 1, self.input_scale, self.maxdisp,
                                     self.dtype, self.use_pallas,
                                     self.s2d_refinement,
-                                    self.pallas_aggregation)
+                                    self.pallas_aggregation,
+                                    self.fused_coarse_head)
 
     def __call__(self, left_img, right_img, side: str = "l",
                  output_cost_volume: bool = False, train: bool = True):

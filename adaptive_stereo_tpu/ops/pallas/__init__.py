@@ -9,5 +9,10 @@ from .aggregation import (
     aggregate_cost_volume_ref,
     aggregation_pallas_supported,
 )
+from .coarse_head import (
+    coarse_head_pallas,
+    coarse_head_pallas_supported,
+    coarse_head_ref,
+)
 from .cost_volume import difference_cost_volume_pallas
 from .disparity import soft_argmin_fcs_pallas

@@ -177,11 +177,17 @@ def _build_tap_matrices(params, cdtype):
                  for kind in range(3))
 
 
-def _kernel(xpad_ref, am_ref, al_ref, ar_ref, b_ref, bf_ref, sc_ref, bb_ref,
-            rm_ref, rv_ref,
-            out_ref, mu_ref, var_ref,
-            x0_ref, x1_ref, xm_ref, acc_ref,
-            *, B, D, H, Wp, train, eps):
+def _stack_body(src0_ref, am_ref, al_ref, ar_ref, b_ref, bf_ref, sc_ref,
+                bb_ref, rm_ref, rv_ref, mu_ref, var_ref,
+                x0_ref, x1_ref, xm_ref, acc_ref, emit_final,
+                *, B, D, H, Wp, train, eps):
+    """The five-layer conv+BN+LeakyReLU stack on packed rows, shared by the
+    aggregation kernel and the fused coarse-head kernel (coarse_head.py).
+
+    src0_ref holds the packed zero-bordered cost volume (layer-0 input);
+    emit_final(b) is called once per batch element with acc_ref holding the
+    final conv's f32 output rows (lanes 0..3 = the 4 packed phases).
+    """
     R = (D + 2) * (H + 2) * Wp
     R2 = R + 2          # one guard row at each end (w-cross slices read +-1)
     S = (H + 3) * Wp
@@ -213,7 +219,7 @@ def _kernel(xpad_ref, am_ref, al_ref, ar_ref, b_ref, bf_ref, sc_ref, bb_ref,
 
     for layer in range(_NUM_BN_LAYERS + 1):
         final = layer == _NUM_BN_LAYERS
-        src_ref = xpad_ref if layer == 0 else (
+        src_ref = src0_ref if layer == 0 else (
             x0_ref if layer % 2 == 1 else x1_ref)
         dst_ref = x0_ref if layer % 2 == 0 else x1_ref
 
@@ -256,7 +262,7 @@ def _kernel(xpad_ref, am_ref, al_ref, ar_ref, b_ref, bf_ref, sc_ref, bb_ref,
                         preferred_element_type=jnp.float32)
 
             if final:
-                out_ref[b] = acc_ref[:, :8]
+                emit_final(b)
             else:
                 # Store the conv output ROUNDED to the compute dtype — the
                 # same values the XLA path's conv materializes, so the BN
@@ -311,6 +317,20 @@ def _kernel(xpad_ref, am_ref, al_ref, ar_ref, b_ref, bf_ref, sc_ref, bb_ref,
                 t = jnp.where(t >= 0, t, _LEAKY_SLOPE * t)
                 dst_ref[b, r0 + 1:r0 + 1 + H * Wp] = \
                     t.astype(cdtype).astype(jnp.float32)
+
+
+def _kernel(xpad_ref, am_ref, al_ref, ar_ref, b_ref, bf_ref, sc_ref, bb_ref,
+            rm_ref, rv_ref,
+            out_ref, mu_ref, var_ref,
+            x0_ref, x1_ref, xm_ref, acc_ref,
+            *, B, D, H, Wp, train, eps):
+    def emit_final(b):
+        out_ref[b] = acc_ref[:, :8]
+
+    _stack_body(xpad_ref, am_ref, al_ref, ar_ref, b_ref, bf_ref, sc_ref,
+                bb_ref, rm_ref, rv_ref, mu_ref, var_ref,
+                x0_ref, x1_ref, xm_ref, acc_ref, emit_final,
+                B=B, D=D, H=H, Wp=Wp, train=train, eps=eps)
 
 
 def _pack(cost: jnp.ndarray, Wp: int) -> jnp.ndarray:

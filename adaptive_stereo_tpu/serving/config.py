@@ -44,3 +44,8 @@ class ServingConfig:
     # the XLA twin). Auto-falls back off-TPU and for shapes the kernel does
     # not cover.
     pallas_aggregation: bool = False
+    # Fully fused Pallas coarse head (cost-volume build + aggregation +
+    # soft-argmin/FCS in ONE VMEM-resident kernel, ops/pallas/coarse_head.py).
+    # Default decided by measurement at the serving config (B=1 eval bf16):
+    # see PERFORMANCE.md "Fused coarse head" and artifacts/exp_coarse_head.log.
+    fused_coarse_head: bool = False

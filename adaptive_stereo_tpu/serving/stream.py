@@ -105,6 +105,8 @@ class StereoDepthEngine:
             # interpreter path would be slower than XLA, so gate on backend.
             pallas_aggregation=(config.pallas_aggregation
                                 and jax.default_backend() == "tpu"),
+            fused_coarse_head=(config.fused_coarse_head
+                               and jax.default_backend() == "tpu"),
         )
         s = config.input_scale
 

@@ -113,9 +113,12 @@ def main():
                "workers": {}}
 
     def make_loader(nw):
+        # uint8 end-to-end: decode keeps native 8-bit pixels, the engines
+        # normalize on-device (images_uint8), so the host never touches f32.
         ds = StereoDataset(a.data, "Synthetic", "synth", h, w, "train",
                            scales=[s], do_hflip=False, random_crop=False,
-                           load_disp_left=False, load_disp_right=False)
+                           load_disp_left=False, load_disp_right=False,
+                           color_uint8=True)
         return BatchLoader(ds, 1, shuffle=False, num_workers=nw,
                            prefetch=max(8, nw * 2), seed=0)
 
@@ -131,13 +134,13 @@ def main():
                 break
         loader_fps = n / (time.perf_counter() - t0)
 
-        # IN_PROGRESS end-to-end: decode -> uint8 upload -> adapt step
+        # IN_PROGRESS end-to-end: uint8 decode -> upload -> adapt step
         ss = ss0
         n = 0
         t0 = time.perf_counter()
         for batch in loader:
-            left = u8(batch[f"color_l/{s}"])
-            right = u8(batch[f"color_r/{s}"])
+            left = jax.device_put(batch[f"color_l/{s}"])
+            right = jax.device_put(batch[f"color_r/{s}"])
             ss = adapt_step(ss, left, right, gt0, left, right, gt0, idx0)
             n += 1
             if n >= a.frames:
@@ -151,11 +154,12 @@ def main():
         pend = []
         t0 = time.perf_counter()
         for batch in loader:
-            pend.append((u8(batch[f"color_l/{s}"]), u8(batch[f"color_r/{s}"])))
+            pend.append((batch[f"color_l/{s}"], batch[f"color_r/{s}"]))
             if len(pend) == a.done_batch:
                 ss = done_b(ss,
-                            jnp.concatenate([x[0] for x in pend]),
-                            jnp.concatenate([x[1] for x in pend]), gtN, idxN)
+                            jax.device_put(np.concatenate([x[0] for x in pend])),
+                            jax.device_put(np.concatenate([x[1] for x in pend])),
+                            gtN, idxN)
                 pend = []
             n += 1
             if n >= a.frames:

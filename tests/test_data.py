@@ -123,3 +123,19 @@ def test_batch_loader_shapes_and_order(synth_root):
     assert batches[1]["color_l/1"].shape == (2, 32, 48, 3)
     # Order-preserving (no shuffle): first batch first item == dataset[0].
     np.testing.assert_allclose(batches[0]["color_l/1"][0], ds[0]["color_l/1"])
+
+
+def test_dataset_color_uint8_fast_path(synth_root):
+    """color_uint8=True keeps native 8-bit pixels end-to-end; values match
+    the f32 path exactly (f32 = uint8 / 255)."""
+    kw = dict(scales=[0], load_disp_left=False, load_disp_right=False,
+              splits_root=os.path.join(synth_root, "splits"))
+    ds8 = StereoDataset(synth_root, "Synthetic", "synth", 64, 96, "train",
+                        color_uint8=True, **kw)
+    dsf = StereoDataset(synth_root, "Synthetic", "synth", 64, 96, "train", **kw)
+    a8, af = ds8[0], dsf[0]
+    assert a8["color_l/0"].dtype == np.uint8
+    assert af["color_l/0"].dtype == np.float32
+    for key in ("color_l/0", "color_r/0"):
+        np.testing.assert_allclose(
+            a8[key].astype(np.float32) / 255.0, af[key], atol=1e-7)

@@ -254,6 +254,127 @@ def test_model_with_pallas_aggregation_matches_without(train):
                                    rtol=1e-4, atol=1e-4)
 
 
+FUSED_HEAD_DOC = """
+Fused coarse head (ops/pallas/coarse_head.py): cost-volume build +
+aggregation + soft-argmin + FCS in one kernel.
+Reference: stereo_net.py:169-192 + feature_contrast.py:12-23.
+"""
+
+
+@pytest.mark.parametrize("b,d,h,w", [(1, 12, 8, 16), (2, 5, 6, 12)])
+@pytest.mark.parametrize("train", [True, False])
+def test_coarse_head_kernel_matches_aggregation_kernel(b, d, h, w, train):
+    """The fused head must add ZERO numerics on top of the (already
+    parity-tested) aggregation kernel: its in-kernel cost-volume build and
+    soft-argmin/FCS epilogue match the composed ops exactly. (Drift vs the
+    pure-XLA twin is the aggregation stack's known f32 reassociation band,
+    bounded separately below.)"""
+    from adaptive_stereo_tpu.ops.pallas import (
+        aggregate_cost_volume_pallas, coarse_head_pallas)
+
+    rng = np.random.RandomState(b * 10 + d)
+    params = _agg_params(rng)
+    rs = _agg_run_stats(rng)
+    fl = jnp.asarray(rng.randn(b, h, w, 32), jnp.float32)
+    fr = jnp.asarray(rng.randn(b, h, w, 32), jnp.float32)
+
+    disp, fcs, mu, var = coarse_head_pallas(fl, fr, params, rs, d, train)
+    cost5 = difference_cost_volume(fl, fr, d)
+    out, mu2, var2 = aggregate_cost_volume_pallas(cost5, params, rs, train)
+    cost = out.astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(disp),
+                               np.asarray(soft_argmin(cost, axis=1)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fcs),
+                               np.asarray(feature_contrast_mean(cost)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(mu), np.asarray(mu2))
+    np.testing.assert_array_equal(np.asarray(var), np.asarray(var2))
+
+
+def test_coarse_head_kernel_vjp_matches_jnp():
+    """Disparity gradients == jax.grad of the XLA twin (the VJP remats it);
+    FCS is stop-gradient; run_stats get zeros."""
+    import jax
+    from adaptive_stereo_tpu.ops.pallas import coarse_head_pallas, coarse_head_ref
+
+    rng = np.random.RandomState(11)
+    params = _agg_params(rng)
+    rs = _agg_run_stats(rng)
+    fl = jnp.asarray(rng.randn(1, 8, 16, 32), jnp.float32)
+    fr = jnp.asarray(rng.randn(1, 8, 16, 32), jnp.float32)
+
+    def loss_p(fl, fr, p):
+        return jnp.sum(coarse_head_pallas(fl, fr, p, rs, 12, True)[0] ** 2)
+
+    def loss_r(fl, fr, p):
+        return jnp.sum(coarse_head_ref(fl, fr, p, rs, True, 12)[0] ** 2)
+
+    g_p = jax.grad(loss_p, argnums=(0, 1, 2))(fl, fr, params)
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2))(fl, fr, params)
+    # The forward values feeding the cotangent differ by the aggregation
+    # stack's reassociation band (rtol 1e-4), which the squared loss doubles.
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-3)
+
+
+def test_coarse_head_unsupported_shapes_raise():
+    from adaptive_stereo_tpu.ops.pallas import (
+        coarse_head_pallas, coarse_head_pallas_supported)
+
+    rng = np.random.RandomState(2)
+    params = _agg_params(rng)
+    rs = _agg_run_stats(rng)
+    assert not coarse_head_pallas_supported((1, 4, 6, 32), 4)   # W % 4
+    assert not coarse_head_pallas_supported((1, 4, 8, 32), 2)   # D < 3
+    assert not coarse_head_pallas_supported((8, 40, 120, 32), 12)  # VMEM
+    assert coarse_head_pallas_supported((1, 20, 60, 32), 12, jnp.bfloat16)
+    bad = jnp.asarray(rng.randn(1, 4, 6, 32), jnp.float32)
+    with pytest.raises(ValueError):
+        coarse_head_pallas(bad, bad, params, rs, 4, True)
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_model_with_fused_coarse_head_matches_without(train):
+    """StereoModel(fused_coarse_head=True): identical variable tree/init;
+    forward outputs (incl. the fused FCS map) and batch-stat updates match
+    the standard path within the aggregation stack's parity band."""
+    import jax
+    from adaptive_stereo_tpu.models import StereoModel
+    from adaptive_stereo_tpu.ops import feature_contrast_mean as fcs_ref
+
+    rng = np.random.RandomState(3)
+    K, S, H, W = 3, 1, 32, 64
+    left = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
+    right = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
+    m0 = StereoModel(k=K, input_scale=S)
+    m1 = StereoModel(k=K, input_scale=S, fused_coarse_head=True)
+    v0 = m0.init(jax.random.PRNGKey(0), left, right, train=False)
+    v1 = m1.init(jax.random.PRNGKey(0), left, right, train=False)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    o0, mut0 = m0.apply(v0, left, right, train=train, output_cost_volume=True,
+                        mutable=["batch_stats"])
+    o1, mut1 = m1.apply(v0, left, right, train=train,
+                        mutable=["batch_stats"])
+    cs = S + K
+    np.testing.assert_allclose(
+        np.asarray(o1[f"fcs_l/{cs}"]),
+        np.asarray(fcs_ref(o0[f"cost_volume_l/{cs}"])),
+        rtol=1e-4, atol=2e-4)
+    for key in o1:
+        if key.startswith("fcs"):
+            continue
+        np.testing.assert_allclose(np.asarray(o0[key]), np.asarray(o1[key]),
+                                   rtol=1e-4, atol=2e-4, err_msg=key)
+    for a, b in zip(jax.tree.leaves(mut0), jax.tree.leaves(mut1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_aggregation_kernel_eval_bf16_consistent_stats():
     """Eval-mode bf16 parity under CONSISTENT running stats (the serving
     regime: rs ~ the activation distribution). With arbitrary rs the
