@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--done_batch", type=int, default=1,
                         help="flat engine: micro-batch N DONE-state frames "
                              "into one inference dispatch")
+        sp.add_argument("--device_cache", action="store_true", default=False,
+                        help="flat engine: keep the whole finite stream, ER "
+                             "pool and val sets device-resident (zero "
+                             "per-step uploads; bit-exact at input_scale 0)")
 
     add_common(sub.add_parser("train", help="supervised training"))
     add_common(sub.add_parser("adapt", help="online adaptation"))
@@ -187,7 +191,8 @@ def main(argv=None) -> int:
                             engine=opt.engine,
                             transfer_uint8=opt.transfer_uint8,
                             fused_er_forward=opt.fused_er_forward,
-                            done_batch=opt.done_batch)
+                            done_batch=opt.done_batch,
+                            device_cache=opt.device_cache)
         print("Done with adaptation!")
         return 0
 

@@ -69,7 +69,8 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                     log_chunk: int = 512, engine: str = "flat",
                     transfer_uint8: bool = False,
                     fused_er_forward: bool = False,
-                    done_batch: int = 1) -> Dict:
+                    done_batch: int = 1,
+                    device_cache: bool = False) -> Dict:
     """engine='flat' (default): minimal-dispatch-payload flat-state engine
     (engine/flat_stream.py) — fastest on remote-dispatch TPUs.
     engine='pytree': the structured stream engine (engine/stream_adapt.py).
@@ -84,7 +85,16 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
     Frames queue on the host and flush at every sync boundary (log drain /
     validation / eval), so state-machine semantics — including the
     bounded-lag DONE->restart on novel frames — are unchanged; the lag bound
-    stays the drain cadence, which done_batch never exceeds."""
+    stays the drain cadence, which done_batch never exceeds.
+
+    device_cache (flat engine, batch_size 1): ship the whole finite
+    adaptation stream, the ER pool, and both val sets to HBM ONCE and slice
+    frames on device — zero per-step host->device transfers. Bit-exact vs
+    the upload path at input_scale 0 (see engine/device_cache.py). This is
+    both the fast path and the REQUIRED path for long runs on the axon
+    remote backend, whose per-transfer host RSS leak otherwise OOMs the
+    host over thousands of streamed steps (measured: ~2x payload bytes
+    leaked per upload; artifacts/axon_leak.log)."""
     mc, ac, dc, oc = cfg.model, cfg.adapt, cfg.data, cfg.optim
     # The ring must cover the longest possible gap between drains.
     log_chunk = max(log_chunk, 2 * cfg.log_frequency, 2 * max(ac.ovs_validate_hz, 1))
@@ -145,6 +155,34 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
     if use_vs and dc.batch_size != 1:
         raise ValueError("VS adaptation modes require batch_size=1")
 
+    stream_cache = er_cache = None
+    if device_cache:
+        if engine != "flat":
+            raise ValueError("device_cache requires engine='flat'")
+        if dc.batch_size != 1:
+            raise ValueError("device_cache requires batch_size=1")
+        from .device_cache import DeviceCachedLoader, DeviceStreamCache
+
+        cache_u8 = s == 0  # uint8 is bit-exact only pre-pyramid-resize
+        transfer_uint8 = cache_u8
+        stream_ds = StereoDataset(dc.dataset_path, dc.dataset_name, dc.split,
+                                  dc.height, dc.width, "train",
+                                  load_disp_left=True, load_disp_right=False,
+                                  color_uint8=cache_u8, **mk)
+        stream_cache = DeviceStreamCache(stream_ds, s, cache_u8,
+                                         num_workers=dc.num_workers)
+        if use_er:
+            er_ds = StereoDataset(
+                ac.train_dataset_path or dc.dataset_path,
+                ac.train_dataset_name or dc.dataset_name,
+                ac.train_split or dc.split, dc.height, dc.width, "val",
+                load_disp_left=True, load_disp_right=False,
+                color_uint8=cache_u8, **mk_train)
+            er_cache = DeviceStreamCache(er_ds, s, cache_u8,
+                                         num_workers=dc.num_workers)
+        adapt_val_loader = DeviceCachedLoader(adapt_val_loader)
+        train_val_loader = DeviceCachedLoader(train_val_loader)
+
     step_kwargs = dict(
         smoothness_weight=ac.smoothness_weight,
         er_loss_weight=ac.er_loss_weight, use_er=use_er, use_vs=use_vs,
@@ -173,9 +211,10 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
 
         def color(batch, key):
             # `batch` values are HOST numpy here when transfer_uint8 (the
-            # driver skips the f32 upload for color keys in that mode).
+            # driver skips the f32 upload for color keys in that mode);
+            # device_cache slices arrive device-resident and correctly typed.
             img = batch[key]
-            if transfer_uint8:
+            if transfer_uint8 and not isinstance(img, jax.Array):
                 img = jax.device_put(
                     np.clip(np.asarray(img) * 255.0, 0, 255).round().astype(np.uint8))
             return img
@@ -300,10 +339,22 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                 0, epoch, upto_step - 1)
         drained_through = upto_step
 
+    if device_cache:
+        steps_per_epoch = len(stream_cache)
+
+        def epoch_batches():
+            for i in range(steps_per_epoch):
+                yield stream_cache.fetch(i)
+    else:
+        steps_per_epoch = len(adapt_loader)
+
+        def epoch_batches():
+            return iter(adapt_loader)
+
     for epoch in range(cfg.num_epochs):
         if ac.num_steps > 0 and step >= ac.num_steps:
             break
-        for batch_idx, raw_batch in enumerate(adapt_loader):
+        for batch_idx, raw_batch in enumerate(epoch_batches()):
             if step % ac.ovs_validate_hz == 0 and step > 0:
                 drain(step)
                 if machine.state == State.IN_PROGRESS:
@@ -311,7 +362,9 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                     if int(size) > 0 and use_vs:
                         machine.transition(float(avg))
 
-            if engine == "flat" and transfer_uint8:
+            if device_cache:
+                batch = raw_batch  # already device-resident slices
+            elif engine == "flat" and transfer_uint8:
                 # Colors go up as uint8 inside color(); upload only the rest.
                 batch = {key: (v if key.startswith("color") else
                                jax.device_put(jnp.asarray(v)))
@@ -319,7 +372,9 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
             else:
                 batch = {key: jax.device_put(jnp.asarray(v)) for key, v in raw_batch.items()}
             if machine.state == State.IN_PROGRESS:
-                if use_er:
+                if use_er and device_cache:
+                    er_batch = er_cache.fetch(step % len(er_cache))
+                elif use_er:
                     it = train_val_dataset[step % len(train_val_dataset)]
                     if engine == "flat" and transfer_uint8:
                         er_batch = {key: (v[None] if key.startswith("color") else
@@ -346,7 +401,7 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                 drain(step)
 
             mid_eval = ac.eval_hz > 0 and step % ac.eval_hz == 0
-            end_eval = ac.eval_hz <= 0 and batch_idx == len(adapt_loader) - 1
+            end_eval = ac.eval_hz <= 0 and batch_idx == steps_per_epoch - 1
             if mid_eval or end_eval:
                 drain(step)
                 adapt_writer.add_scalar("GRADIENT_UPDATES", gradient_updates, step)

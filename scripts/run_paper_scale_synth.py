@@ -321,8 +321,12 @@ def phase3_suite(a, train_root, novel_root, variables, threshold):
             # 0-step EPE; other methods share the same pretrained weights).
             cfg.adapt.skip_initial_eval = (method != "nonstop")
             t0 = time.perf_counter()
+            # device_cache: the whole stream lives in HBM (bit-exact at
+            # s=0) — required on the axon backend, whose per-upload host
+            # RSS leak OOMs 4000-step runs (engine/device_cache.py).
             r = adapt_streaming(cfg, variables=variables,
-                                fused_er_forward=copts["fused"])
+                                fused_er_forward=copts["fused"],
+                                device_cache=True)
             dt = time.perf_counter() - t0
             log(f"phase 3: {run_name} done in {dt:.0f}s — "
                 f"updates={r['gradient_updates']}/{r['steps']} "

@@ -249,6 +249,65 @@ def test_streaming_vs_mode_gates_and_validates(env, tmp_path):
     assert "GRADIENT_UPDATES" in df.columns
 
 
+def test_streaming_device_cache_matches_upload(env, tmp_path):
+    """device_cache=True (whole stream HBM-resident, zero per-step uploads —
+    the axon-leak-proof path, engine/device_cache.py) must replay the plain
+    flat run exactly: at input_scale>0 the cache stores the very same f32
+    frames the upload path ships, so the compiled programs and inputs are
+    identical. Covers the gate, ER pool fetch, validations, and the cached
+    eval loaders via a VS+ER run."""
+    from adaptive_stereo_tpu.engine import adapt_streaming
+
+    train_root, novel_root, variables = env
+    kw = dict(adapt_mode="VS+ER", num_steps=16, eval_hz=8, ovs_buffer_size=4,
+              ovs_validate_hz=6, val_improve_retries=2, ood_threshold=1e9,
+              skip_initial_eval=False)
+    cfg_up = _adapt_cfg(train_root, novel_root, str(tmp_path), "dc_up", **kw)
+    cfg_dc = _adapt_cfg(train_root, novel_root, str(tmp_path), "dc_dc", **kw)
+    r_up = adapt_streaming(cfg_up, variables=variables, engine="flat")
+    r_dc = adapt_streaming(cfg_dc, variables=variables, engine="flat",
+                           device_cache=True)
+
+    assert r_dc["steps"] == r_up["steps"] == 16
+    assert r_dc["gradient_updates"] == r_up["gradient_updates"]
+    assert r_dc["final_state"] == r_up["final_state"]
+    for split in ("adapt", "train"):
+        for key, v in r_up["final_metrics"][split].items():
+            assert r_dc["final_metrics"][split][key] == v, (split, key)
+    np.testing.assert_array_equal(np.asarray(r_dc["stream_state"].theta),
+                                  np.asarray(r_up["stream_state"].theta))
+    np.testing.assert_array_equal(np.asarray(r_dc["stream_state"].log),
+                                  np.asarray(r_up["stream_state"].log))
+
+
+def test_device_cache_uint8_exact_at_scale0(tmp_path):
+    """At input_scale 0 the cache stores uint8 colors; uint8 -> f32 / 255 on
+    device must reproduce the f32 loader values bit-for-bit (the sources are
+    8-bit PNGs and scale 0 is resize-free)."""
+    from adaptive_stereo_tpu.data import StereoDataset
+    from adaptive_stereo_tpu.engine.device_cache import DeviceStreamCache
+
+    root = str(tmp_path / "ds")
+    generate_synthetic_dataset(root, name="synth", num_train=3, num_val=1,
+                               height=32, width=48, max_disp=8.0, seed=7)
+    mk = dict(scales=[0], do_hflip=False, random_crop=False)
+    ds_u8 = StereoDataset(root, "Synthetic", "synth", 32, 48, "train",
+                          load_disp_left=True, color_uint8=True, **mk)
+    ds_f32 = StereoDataset(root, "Synthetic", "synth", 32, 48, "train",
+                           load_disp_left=True, **mk)
+    cache = DeviceStreamCache(ds_u8, 0, uint8_colors=True, num_workers=2)
+    assert len(cache) == 3
+    for i in range(3):
+        got = cache.fetch(i)
+        ref = ds_f32[i]
+        assert got["color_l/0"].dtype == jnp.uint8
+        np.testing.assert_array_equal(
+            np.asarray(got["color_l/0"][0]).astype(np.float32) / 255.0,
+            ref["color_l/0"])
+        np.testing.assert_array_equal(np.asarray(got["gt_disp_l/0"][0]),
+                                      ref["gt_disp_l/0"])
+
+
 def test_streaming_uint8_transfer(env, tmp_path):
     """uint8 frame transfer: same protocol, quantization-level differences."""
     from adaptive_stereo_tpu.engine import adapt_streaming
