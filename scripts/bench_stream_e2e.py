@@ -75,6 +75,13 @@ def main():
         clip_grad_norm=True, images_uint8=True, fused_er_forward=True)
     done_b = make_done_b(a.done_batch)
 
+    # The steps DONATE their state argument, so ss0's device buffers die at
+    # the first call; keep a host snapshot and restore it for each phase.
+    ss0_host = jax.tree.map(np.asarray, ss0)
+
+    def fresh_ss():
+        return jax.tree.map(jax.device_put, ss0_host)
+
     def u8(x):  # (B,H,W,3) f32 [0,1] -> uint8 device buffer
         return jax.device_put(
             np.clip(np.asarray(x) * 255.0, 0, 255).round().astype(np.uint8))
@@ -90,7 +97,7 @@ def main():
     lN = u8(rng.rand(a.done_batch, h, w, 3))
     rN = u8(rng.rand(a.done_batch, h, w, 3))
 
-    ss = ss0
+    ss = fresh_ss()
     ss = adapt_step(ss, l_res, r_res, gt0, l_res, r_res, gt0, idx0)  # compile
     np.asarray(ss.log[:1])
     t0 = time.perf_counter()
@@ -135,7 +142,7 @@ def main():
         loader_fps = n / (time.perf_counter() - t0)
 
         # IN_PROGRESS end-to-end: uint8 decode -> upload -> adapt step
-        ss = ss0
+        ss = fresh_ss()
         n = 0
         t0 = time.perf_counter()
         for batch in loader:
@@ -149,7 +156,7 @@ def main():
         adapt_fps = n / (time.perf_counter() - t0)
 
         # DONE end-to-end: decode -> queue -> batched dispatch
-        ss = ss0
+        ss = fresh_ss()
         n = 0
         pend = []
         t0 = time.perf_counter()
