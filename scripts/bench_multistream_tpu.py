@@ -38,6 +38,7 @@ def main():
     p.add_argument("--k", type=int, default=4)
     p.add_argument("--input_scale", type=int, default=0)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--rounds", type=int, default=4)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--fused", action="store_true", default=True,
                    help="fused_siamese + s2d tower (the bench.py config)")
@@ -105,44 +106,57 @@ def main():
               f"dtype={a.dtype}: fleet per-stream grads == single-stream "
               f"grads (both streams), on {jax.devices()[0]}", flush=True)
 
+    # Phase A: compile every size up front. Phase B: INTERLEAVE the timing
+    # blocks across sizes, several rounds — the shared device's throughput
+    # varies ~10x minute-to-minute, so timing each size in its own
+    # multi-minute window (the original design) confounds size with device
+    # load; cycling n=1,2,4,8 per round exposes all sizes to the same load.
     results = {}
+    ctx = {}
+    fused = make_fused_fleet_step(model, mesh, s, k, use_er=True,
+                                  use_vs=True, ood_threshold=12.76,
+                                  clip_grad_norm=True)
     for n in a.sizes:
         batch = {
             f"color_l/{s}": jnp.asarray(rng.rand(n, hs, ws, 3), jnp.float32),
             f"color_r/{s}": jnp.asarray(rng.rand(n, hs, ws, 3), jnp.float32),
             f"gt_disp_l/{s}": jnp.asarray(rng.rand(n, hs, ws, 1) * 60, jnp.float32),
         }
-        fused = make_fused_fleet_step(model, mesh, s, k, use_er=True,
-                                      use_vs=True, ood_threshold=12.76,
-                                      clip_grad_norm=True)
-        state = state0
         ema = init_fleet_fcs_ema(n)
         would = jnp.asarray([False] * n)
         in_prog = jnp.asarray([True] * n)
         try:
             t_c0 = time.perf_counter()
-            state, ema, aux = fused(state, ema, batch, batch, would, in_prog)
+            state, ema, aux = fused(state0, ema, batch, batch, would, in_prog)
             _ = np.asarray(aux["fcs_raw"])
             print(f"[multistream] n={n} first step (compile+run) "
                   f"{time.perf_counter() - t_c0:.1f}s", flush=True)
+            ctx[n] = [state, ema, batch, would, in_prog, []]
         except Exception as e:
             print(f"[multistream] n={n} FAILED: {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
             results[n] = {"error": str(e)[:300]}
-            continue
-        # Best-of-3 blocks (shared device varies minute-to-minute).
-        block = []
-        for _ in range(3):
+
+    for rnd in range(a.rounds):
+        for n, c in ctx.items():
+            state, ema, batch, would, in_prog, blocks = c
             t0 = time.perf_counter()
             for _ in range(a.iters):
                 state, ema, aux = fused(state, ema, batch, batch, would, in_prog)
             _ = np.asarray(aux["fcs_raw"])
-            block.append((time.perf_counter() - t0) / a.iters)
-        sec = min(block)
+            blocks.append((time.perf_counter() - t0) / a.iters)
+            c[0], c[1] = state, ema
+            print(f"[multistream] round {rnd} n={n}: "
+                  f"{blocks[-1]*1e3:.2f} ms/step", flush=True)
+
+    for n, c in ctx.items():
+        blocks = c[5]
+        sec = min(blocks)
         results[n] = {"ms_per_step": sec * 1e3,
                       "aggregate_steps_per_sec": n / sec,
-                      "per_stream_latency_ms": sec * 1e3}
-        print(f"[multistream] n={n}: {sec*1e3:.2f} ms/step -> "
+                      "per_stream_latency_ms": sec * 1e3,
+                      "all_blocks_ms": [b * 1e3 for b in blocks]}
+        print(f"[multistream] n={n}: best {sec*1e3:.2f} ms/step -> "
               f"{n/sec:.1f} aggregate adapt-steps/s", flush=True)
 
     ok = {n: r for n, r in results.items() if "error" not in r}
