@@ -162,6 +162,68 @@ def make_viz_step(model, input_scale: int):
     return viz_step
 
 
+def make_adapt_loss(
+    model,
+    input_scale: int,
+    k: int,
+    smoothness_weight: float = 1e-3,
+    er_loss_weight: float = 0.05,
+    use_er: bool = False,
+):
+    """The adaptation loss as a pure function of params (reference
+    adapt.py:327-396 loop body): main train-mode forward + Monodepth loss
+    (+ optional replay forward + Khamis loss), BN stats chained main -> replay
+    exactly like the sequential torch forwards.
+
+    Returns loss(params, batch_stats, batch, er_batch) ->
+    (total, (losses_dict, new_batch_stats, fcs_raw, pred_disp)).
+    Shared by make_adapt_forward_backward (value_and_grad per call) and the
+    fused fleet step (parallel/fleet.py), which vmaps it per stream and
+    differentiates the gate-weighted SUM instead of per-stream grads.
+    """
+    coarse = input_scale + k
+    # Static disparity bound for the warp's banded one-hot matmul
+    # (ops/warp.py): model maxdisp expressed at the loss scale.
+    warp_max_disp = -(-model.maxdisp // 2 ** input_scale)
+
+    def loss_fn(p, batch_stats, batch, er_batch):
+        left = batch[f"color_l/{input_scale}"]
+        right = batch[f"color_r/{input_scale}"]
+        outputs, mut = model.apply(
+            {"params": p, "batch_stats": batch_stats},
+            left, right, side="l", output_cost_volume=True, train=True,
+            mutable=["batch_stats"],
+        )
+        stats = mut["batch_stats"]
+        mono_loss, _warped = monodepth_single_loss(
+            left, right, outputs[f"pred_disp_l/{input_scale}"], smoothness_weight,
+            max_disp=warp_max_disp,
+        )
+        losses = {"Monodepth/total_loss": mono_loss}
+        total = mono_loss
+        if use_er:
+            er_outputs, mut2 = model.apply(
+                {"params": p, "batch_stats": stats},
+                er_batch[f"color_l/{input_scale}"],
+                er_batch[f"color_r/{input_scale}"],
+                side="l", output_cost_volume=False, train=True,
+                mutable=["batch_stats"],
+            )
+            stats = mut2["batch_stats"]
+            replay = khamis_robust_loss(
+                er_outputs[f"pred_disp_l/{input_scale}"],
+                er_batch[f"gt_disp_l/{input_scale}"],
+            )
+            losses["Replay/total_loss"] = replay
+            total = total + er_loss_weight * replay
+
+        fcs_raw = mean_fcs_from_outputs(outputs, "l", coarse)
+        pred = outputs[f"pred_disp_l/{input_scale}"]
+        return total, (losses, stats, fcs_raw, pred)
+
+    return loss_fn
+
+
 def make_adapt_forward_backward(
     model,
     input_scale: int,
@@ -178,52 +240,15 @@ def make_adapt_forward_backward(
     the replay forward updates them again, in that order (matching the
     sequential torch forwards).
     """
-    coarse = input_scale + k
-    # Static disparity bound for the warp's banded one-hot matmul
-    # (ops/warp.py): model maxdisp expressed at the loss scale.
-    warp_max_disp = -(-model.maxdisp // 2 ** input_scale)
+    loss = make_adapt_loss(model, input_scale, k,
+                           smoothness_weight=smoothness_weight,
+                           er_loss_weight=er_loss_weight, use_er=use_er)
 
     @jax.jit
     def fwd_bwd(params, batch_stats, batch, er_batch):
-        left = batch[f"color_l/{input_scale}"]
-        right = batch[f"color_r/{input_scale}"]
-
-        def loss_fn(p):
-            outputs, mut = model.apply(
-                {"params": p, "batch_stats": batch_stats},
-                left, right, side="l", output_cost_volume=True, train=True,
-                mutable=["batch_stats"],
-            )
-            stats = mut["batch_stats"]
-            mono_loss, _warped = monodepth_single_loss(
-                left, right, outputs[f"pred_disp_l/{input_scale}"], smoothness_weight,
-                max_disp=warp_max_disp,
-            )
-            losses = {"Monodepth/total_loss": mono_loss}
-            total = mono_loss
-            if use_er:
-                er_outputs, mut2 = model.apply(
-                    {"params": p, "batch_stats": stats},
-                    er_batch[f"color_l/{input_scale}"],
-                    er_batch[f"color_r/{input_scale}"],
-                    side="l", output_cost_volume=False, train=True,
-                    mutable=["batch_stats"],
-                )
-                stats = mut2["batch_stats"]
-                replay = khamis_robust_loss(
-                    er_outputs[f"pred_disp_l/{input_scale}"],
-                    er_batch[f"gt_disp_l/{input_scale}"],
-                )
-                losses["Replay/total_loss"] = replay
-                total = total + er_loss_weight * replay
-
-            fcs_raw = mean_fcs_from_outputs(outputs, "l", coarse)
-            pred = outputs[f"pred_disp_l/{input_scale}"]
-            return total, (losses, stats, fcs_raw, pred)
-
         (_, (losses, new_stats, fcs_raw, pred)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
+            loss, has_aux=True
+        )(params, batch_stats, batch, er_batch)
 
         aux = dict(losses)
         aux["fcs_raw"] = fcs_raw

@@ -138,44 +138,67 @@ def make_fused_fleet_step(
     whose state machine is DONE (they contribute no gradient; their BN stats
     update is also masked out).
     """
-    from ..engine.steps import make_adapt_forward_backward
+    from ..engine.steps import _epe, make_adapt_loss
 
-    single = make_adapt_forward_backward(
+    loss_one = make_adapt_loss(
         model, input_scale, k, smoothness_weight=smoothness_weight,
         er_loss_weight=er_loss_weight, use_er=use_er,
     )
 
-    def per_stream(params, batch_stats, batch, er_batch):
+    def per_stream_loss(params, batch_stats, batch, er_batch):
         add_b = lambda t: jax.tree.map(lambda x: x[None], t)
-        return single(params, batch_stats, add_b(batch), add_b(er_batch))
+        return loss_one(params, batch_stats, add_b(batch), add_b(er_batch))
 
-    vmapped = jax.vmap(per_stream, in_axes=(None, None, 0, 0))
+    # vmap the per-stream LOSS (not the per-stream grad): per-stream BN batch
+    # statistics are exactly the reference's batch-1 semantics, but the
+    # backward differentiates the gate-weighted SUM of per-stream losses in
+    # ONE pass. Mathematically identical to the do_update-weighted sum of
+    # per-stream grads (the gate weights are constants w.r.t. params), but
+    # XLA then emits ordinary batched weight-gradient contractions instead
+    # of per-stream grouped convolutions — measured 2.1x faster at 2 streams
+    # per chip on TPU v5e (artifacts/profile_fleet_r3.log: vmap-of-grad
+    # 121.6 ms vs 58.1 ms native; n=1 28.4 ms).
+    vloss = jax.vmap(per_stream_loss, in_axes=(None, None, 0, 0))
 
     def local_step(params, batch_stats, opt_state, ema_n, batch_n, er_batch_n,
                    would_add_n, in_progress_n):
         """Runs on each device over its LOCAL streams; collectives combine."""
-        grads_n, stats_n, aux_n = vmapped(params, batch_stats, batch_n, er_batch_n)
-
-        # Per-stream device-side OOD gate (local slice of the EMA vectors).
         ema_values, ema_init = ema_n
-        fcs_raw = aux_n["fcs_raw"]
-        smoothed = jnp.where(
-            ema_init,
-            ema_values * fcs_ema_weight + (1.0 - fcs_ema_weight) * fcs_raw,
-            fcs_raw,
-        )
-        new_ema = (smoothed, jnp.ones_like(ema_init))
-        if use_vs:
-            novel = smoothed < ood_threshold
-            did_add = novel & would_add_n
-        else:
-            novel = jnp.zeros_like(would_add_n)
-            did_add = jnp.zeros_like(would_add_n)
-        do_update = in_progress_n & jnp.logical_not(did_add)
 
-        # Gradient combine: local weighted sums, then ONE psum over ICI.
-        w = do_update.astype(jnp.float32)
-        local_sum = jax.tree.map(lambda g: jnp.tensordot(w, g, axes=(0, 0)), grads_n)
+        def weighted_total(p):
+            totals_n, (losses_n, stats_n, fcs_n, pred_n) = vloss(
+                p, batch_stats, batch_n, er_batch_n)
+            # Per-stream device-side OOD gate (local slice of the EMA
+            # vectors); FCS is a gating signal, never a training signal.
+            fcs_raw = jax.lax.stop_gradient(fcs_n)
+            smoothed = jnp.where(
+                ema_init,
+                ema_values * fcs_ema_weight + (1.0 - fcs_ema_weight) * fcs_raw,
+                fcs_raw,
+            )
+            if use_vs:
+                novel = smoothed < ood_threshold
+                did_add = novel & would_add_n
+            else:
+                novel = jnp.zeros_like(would_add_n)
+                did_add = jnp.zeros_like(would_add_n)
+            do_update = in_progress_n & jnp.logical_not(did_add)
+            w = do_update.astype(jnp.float32)
+            return jnp.sum(w * totals_n), (
+                losses_n, stats_n, fcs_raw, pred_n, smoothed, novel, did_add,
+                do_update, w)
+
+        (_, (aux_n, stats_n, fcs_raw, pred_n, smoothed, novel, did_add,
+             do_update, w)), local_sum = jax.value_and_grad(
+            weighted_total, has_aux=True)(params)
+        aux_n = dict(aux_n)
+        aux_n["fcs_raw"] = fcs_raw
+        gt_key = f"gt_disp_l/{input_scale}"
+        if gt_key in batch_n:
+            aux_n["EPE"] = jax.vmap(_epe)(pred_n, batch_n[gt_key][:, None])
+        new_ema = (smoothed, jnp.ones_like(ema_init))
+
+        # Gradient combine: ONE psum of the local weighted sum over ICI.
         denom = jnp.maximum(jax.lax.psum(jnp.sum(w), axis_name), 1.0)
         grads = jax.tree.map(lambda g: jax.lax.psum(g, axis_name) / denom, local_sum)
         if clip_grad_norm:
