@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--train_split", type=str, default="")
         sp.add_argument("--ood_threshold", type=float, default=15.0)
         sp.add_argument("--fcs_ema_weight", type=float, default=0.999)
+        sp.add_argument("--ovs_guard_tolerance", type=float, default=0.0,
+                        help="streaming engines: roll the model/optimizer "
+                             "state back to the best-validation snapshot "
+                             "when an OVS validation comes in worse than "
+                             "best*(1+tol); 0 disables (reference behavior)")
         # Streaming (zero-sync) engine selection — 'classic' is the
         # step-for-step reference-parity engine (engine/adapt.py).
         sp.add_argument("--engine", default="classic",
@@ -140,6 +145,7 @@ def options_to_config(opt) -> ExperimentConfig:
                           eval_hz=opt.eval_hz, er_loss_weight=opt.er_loss_weight,
                           ood_threshold=opt.ood_threshold,
                           fcs_ema_weight=opt.fcs_ema_weight,
+                          ovs_guard_tolerance=getattr(opt, "ovs_guard_tolerance", 0.0),
                           smoothness_weight=opt.smoothness_weight,
                           consistency_weight=opt.consistency_weight,
                           leftright_consistency=opt.leftright_consistency,

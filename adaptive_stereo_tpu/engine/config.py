@@ -79,6 +79,15 @@ class AdaptConfig:
     # pass gate_model/gate_variables to engine.adapt.adapt).
     gate: str = "fcs"
     ood_threshold: float = 15.0
+    # OVS trust-region guard (framework-new robustness; no reference
+    # counterpart — motivated by an observed VS divergence at paper scale,
+    # artifacts/paper_scale_r3/ANALYSIS.md). At every OVS validation the
+    # driver snapshots model+optimizer state when the validation loss makes
+    # a new best; if a later validation comes in worse than
+    # best * (1 + ovs_guard_tolerance) the stream state rolls back to the
+    # best snapshot (observations — FCS EMA, reservoir, logs — are kept).
+    # 0.0 disables the guard (exact reference behavior).
+    ovs_guard_tolerance: float = 0.0
     fcs_ema_weight: float = 0.999
     smoothness_weight: float = 1e-3
     consistency_weight: float = 1e-3

@@ -246,6 +246,50 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
         State.DONE if ac.adapt_mode == "NONE" else State.IN_PROGRESS,
         ac.val_improve_retries)
 
+    # --- OVS trust-region guard (AdaptConfig.ovs_guard_tolerance) ---------
+    # Snapshot/restore of the MODEL state only (params, Adam moments/count,
+    # BN running stats); observations (FCS EMA, reservoir, ring log) are
+    # never rolled back. Copies are deliberate on both sides: the streaming
+    # steps donate their state buffers, so an aliased snapshot would be
+    # deleted by the next dispatch.
+    if engine == "flat":
+        _GUARD_FIELDS = ("theta", "m", "v", "count", "bn")
+
+        def guard_snapshot(ss):
+            return {f: jnp.copy(getattr(ss, f)) for f in _GUARD_FIELDS}
+
+        def guard_restore(ss, snap):
+            return ss.replace(**{f: jnp.copy(snap[f]) for f in _GUARD_FIELDS})
+    else:
+        def guard_snapshot(ss):
+            return jax.tree.map(jnp.copy, ss.train)
+
+        def guard_restore(ss, snap):
+            return ss.replace(train=jax.tree.map(jnp.copy, snap))
+
+    guard_tol = float(ac.ovs_guard_tolerance)
+    guard_best = [float("inf")]
+    guard_snap = [None]
+    guard_rollbacks = [0]
+
+    def guard_check(ss, avg_loss: float):
+        """Called at each non-empty OVS validation; returns (ss, rolled)."""
+        if guard_tol <= 0.0:
+            return ss, False
+        if avg_loss < guard_best[0]:
+            guard_best[0] = avg_loss
+            guard_snap[0] = guard_snapshot(ss)
+            return ss, False
+        if guard_snap[0] is not None and \
+                avg_loss > guard_best[0] * (1.0 + guard_tol):
+            guard_rollbacks[0] += 1
+            print(f"[ OVS-GUARD ] validation {avg_loss:.5f} exceeds best "
+                  f"{guard_best[0]:.5f} by more than {guard_tol:.0%}; "
+                  "rolling back to the best snapshot "
+                  f"(rollback #{guard_rollbacks[0]})")
+            return guard_restore(ss, guard_snap[0]), True
+        return ss, False
+
     trials = TrialsLog(os.path.join(log_path, "trials.csv"))
 
     def run_eval():
@@ -360,6 +404,7 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                 if machine.state == State.IN_PROGRESS:
                     ss, avg, size = validate_step(ss)
                     if int(size) > 0 and use_vs:
+                        ss, _rolled = guard_check(ss, float(avg))
                         machine.transition(float(avg))
 
             if device_cache:
@@ -405,6 +450,9 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
             if mid_eval or end_eval:
                 drain(step)
                 adapt_writer.add_scalar("GRADIENT_UPDATES", gradient_updates, step)
+                if guard_tol > 0.0:
+                    adapt_writer.add_scalar("OVS_GUARD_ROLLBACKS",
+                                            guard_rollbacks[0], step)
                 ma, mt = run_eval()
                 adapt_writer.log_scalars(ma, {}, 0, epoch, step)
                 train_writer.log_scalars(mt, {}, 0, epoch, step)
@@ -422,6 +470,7 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
     return {
         "steps": step,
         "gradient_updates": gradient_updates,
+        "guard_rollbacks": guard_rollbacks[0],
         "steps_per_sec": step / max(total, 1e-9),
         "final_metrics": final_metrics,
         "final_state": machine.state.name,

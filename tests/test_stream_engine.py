@@ -414,3 +414,39 @@ def test_streaming_done_batch_driver(env, tmp_path):
     np.testing.assert_allclose(np.asarray(r[3]["stream_state"].log[:8]),
                                np.asarray(r[1]["stream_state"].log[:8]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_ovs_guard_rolls_back_on_regression(env, tmp_path):
+    """OVS trust-region guard (AdaptConfig.ovs_guard_tolerance — framework-new
+    robustness, no reference counterpart): with a destructively large LR the
+    OVS validation loss regresses past the tolerance band and the driver must
+    roll the model/optimizer state back to the best snapshot; with the guard
+    off (tol=0, exact reference behavior) no rollback ever happens."""
+    from adaptive_stereo_tpu.engine import adapt_streaming
+
+    train_root, novel_root, variables = env
+    kw = dict(adapt_mode="VS+ER", num_steps=20, eval_hz=20,
+              ovs_buffer_size=4, ovs_validate_hz=4, val_improve_retries=99,
+              ood_threshold=1e9, skip_initial_eval=True)
+
+    cfg_off = _adapt_cfg(train_root, novel_root, str(tmp_path), "guard_off", **kw)
+    cfg_off.optim.learning_rate = 0.5  # destroys the model within a few steps
+    r_off = adapt_streaming(cfg_off, variables=variables, engine="flat")
+    assert r_off["guard_rollbacks"] == 0
+
+    cfg_on = _adapt_cfg(train_root, novel_root, str(tmp_path), "guard_on",
+                        ovs_guard_tolerance=0.05, **kw)
+    cfg_on.optim.learning_rate = 0.5
+    r_on = adapt_streaming(cfg_on, variables=variables, engine="flat")
+    assert r_on["guard_rollbacks"] >= 1
+    # Rolled-back state is the snapshot, not the diverged tail: theta finite.
+    assert bool(jnp.isfinite(r_on["stream_state"].theta).all())
+
+    # Sane-LR VS+ER run with a generous band: the guard must stay silent.
+    # (At this toy scale the 4-item OVS loss fluctuates tens of percent
+    # between validations, so only a wide band distinguishes "normal noise"
+    # from the divergence the guard exists for.)
+    cfg_sane = _adapt_cfg(train_root, novel_root, str(tmp_path), "guard_sane",
+                          ovs_guard_tolerance=2.0, **kw)
+    r_sane = adapt_streaming(cfg_sane, variables=variables, engine="flat")
+    assert r_sane["guard_rollbacks"] == 0
