@@ -98,6 +98,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="flat engine: keep the whole finite stream, ER "
                              "pool and val sets device-resident (zero "
                              "per-step uploads; bit-exact at input_scale 0)")
+        sp.add_argument("--resume_from", type=str, default="",
+                        help="flat engine: weights_<step> checkpoint folder "
+                             "to resume a killed adaptation from — restores "
+                             "the full streaming state (OVS reservoir, FCS "
+                             "EMA, plateau machine, guard, counters) and "
+                             "continues bit-identically")
 
     add_common(sub.add_parser("train", help="supervised training"))
     add_common(sub.add_parser("adapt", help="online adaptation"))
@@ -184,6 +190,13 @@ def main(argv=None) -> int:
 
     if opt.command == "adapt":
         print("\nStarting adaptation ...")
+        if opt.engine == "classic" and getattr(opt, "ovs_guard_tolerance", 0.0) > 0.0:
+            # The trust-region guard lives in the streaming driver; silently
+            # running unguarded would defeat the user's intent (ADVICE r3).
+            raise SystemExit(
+                "--ovs_guard_tolerance requires a streaming engine "
+                "(--engine flat or --engine pytree); the classic "
+                "reference-parity engine does not implement the guard")
         if opt.engine == "classic":
             from .engine.adapt import adapt
 
@@ -198,7 +211,8 @@ def main(argv=None) -> int:
                             transfer_uint8=opt.transfer_uint8,
                             fused_er_forward=opt.fused_er_forward,
                             done_batch=opt.done_batch,
-                            device_cache=opt.device_cache)
+                            device_cache=opt.device_cache,
+                            resume_from=opt.resume_from or None)
         print("Done with adaptation!")
         return 0
 

@@ -217,7 +217,7 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
           splits_root: Optional[str] = None,
           train_splits_root: Optional[str] = None,
           gate_model=None, gate_variables: Optional[dict] = None,
-          gate_kind: str = "ae") -> Dict:
+          gate_kind: str = "ae", step_hook=None) -> Dict:
     """Run online adaptation per the reference protocol (adapt.py:187-443).
 
     Args:
@@ -230,6 +230,11 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
         image-reconstruction error replaces FCS as the novelty signal
         (reference graveyard/adapt_vae.py; see analysis.reconstruction_ood
         for the trainer). Novel iff recon loss > cfg.adapt.ood_threshold.
+      step_hook: optional callable(step, record) invoked once per stream
+        frame with the step's observables — fcs_raw, fcs_smoothed, novel,
+        did_add, do_update, mono_loss, replay_loss, epe, state. Used by the
+        lockstep differential harness (tests/test_lockstep_reference.py)
+        and available for user instrumentation.
 
     Returns a summary dict (final metrics, gradient_updates, steps/sec).
     """
@@ -438,6 +443,20 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
 
             adapt_writer.add_scalar("fcs/raw", fcs_raw, step)
             adapt_writer.add_scalar("fcs/smoothed", fcs_smoothed, step)
+
+            if step_hook is not None:
+                step_hook(step, {
+                    "fcs_raw": fcs_raw,
+                    "fcs_smoothed": fcs_smoothed,
+                    "novel": bool(image_is_novel) if use_vs else False,
+                    "did_add": bool(did_add_to_ovs) if in_progress else False,
+                    "do_update": bool(aux["do_update"]) if in_progress else False,
+                    "mono_loss": float(aux["Monodepth/total_loss"]),
+                    "replay_loss": (float(aux["Replay/total_loss"])
+                                    if "Replay/total_loss" in aux else None),
+                    "epe": float(aux["EPE"]) if "EPE" in aux else None,
+                    "state": sm.state().name,
+                })
 
             elapsed = time.time() - t0
             if (step % cfg.log_frequency) == 0 and step > 0:

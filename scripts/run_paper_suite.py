@@ -56,6 +56,13 @@ def main():
     ap.add_argument("--methods", nargs="*",
                     default=["nonstop", "vs", "er", "vs+er"])
     ap.add_argument("--log_dir", default="paper_suite_logs")
+    # Reduced-scale overrides (readiness drill / smoke runs). Defaults are
+    # the paper protocol: 4000 steps at 320x960, eval every 1000.
+    ap.add_argument("--num_steps", type=int, default=4000)
+    ap.add_argument("--height", type=int, default=320)
+    ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--eval_hz", type=int, default=1000)
+    ap.add_argument("--ovs_validate_hz", type=int, default=200)
     args = ap.parse_args()
 
     roots = {"SceneFlowFlying": args.sceneflow, "VirtualKitti": args.vkitti,
@@ -88,15 +95,19 @@ def main():
     for env_name in args.environments:
         spec = ADAPTATION_ENVIRONMENTS[env_name]
         src = spec["source"]
+        # adaptation_config resolves roots by dataset NAME (experiments.py).
+        train_ds = SOURCE_DOMAINS[src]["train_dataset_name"]
         dataset_paths = {
-            "adapt": roots[spec["dataset_name"]],
-            "train": roots[SOURCE_DOMAINS[src]["train_dataset_name"]],
+            spec["dataset_name"]: roots[spec["dataset_name"]],
+            train_ds: roots[train_ds],
         }
         print(f"\n=== {env_name}: {args.methods} ===")
         trials = run_adaptation_suite(
             env_name, dataset_paths, weights[src],
             log_dir=os.path.join(args.log_dir, env_name),
-            methods=tuple(args.methods))
+            methods=tuple(args.methods),
+            num_steps=args.num_steps, height=args.height, width=args.width,
+            eval_hz=args.eval_hz, ovs_validate_hz=args.ovs_validate_hz)
         summary[env_name] = trials
 
         if "vs+er" in trials and env_name in PUBLISHED_VSER_4000:

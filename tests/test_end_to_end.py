@@ -23,6 +23,10 @@ H, W = 64, 96
 K, S = 3, 1
 
 
+# Heavy engine/kernel runs: the slow tier (see README 'Running the tests').
+pytestmark = pytest.mark.slow
+
+
 def _cfg(root, log_dir, name, **adapt_kw):
     return ExperimentConfig(
         model_name=name,

@@ -14,6 +14,10 @@ from adaptive_stereo_tpu.ops.pallas import (
     soft_argmin_fcs_pallas,
 )
 
+# Heavy engine/kernel runs: the slow tier (see README 'Running the tests').
+pytestmark = pytest.mark.slow
+
+
 RNG = np.random.RandomState(0)
 
 

@@ -25,6 +25,10 @@ K, S, H, W = 3, 1, 32, 64
 N = 8
 
 
+# Heavy engine/kernel runs: the slow tier (see README 'Running the tests').
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def setup():
     assert len(jax.devices()) >= N, "conftest must provide 8 CPU devices"
