@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--train_split", type=str, default="")
         sp.add_argument("--ood_threshold", type=float, default=15.0)
         sp.add_argument("--fcs_ema_weight", type=float, default=0.999)
+        sp.add_argument("--warp_precision", default="highest",
+                        choices=["highest", "high", "default"],
+                        help="MXU precision of the loss warp contraction: "
+                             "highest=exact grid_sample parity; high=2.7e-5 "
+                             "error, faster; default=4e-3 error, ~2.4x "
+                             "faster backward (see PERFORMANCE.md)")
         sp.add_argument("--ovs_guard_tolerance", type=float, default=0.0,
                         help="streaming engines: roll the model/optimizer "
                              "state back to the best-validation snapshot "
@@ -152,6 +158,7 @@ def options_to_config(opt) -> ExperimentConfig:
                           ood_threshold=opt.ood_threshold,
                           fcs_ema_weight=opt.fcs_ema_weight,
                           ovs_guard_tolerance=getattr(opt, "ovs_guard_tolerance", 0.0),
+                          warp_precision=getattr(opt, "warp_precision", "highest"),
                           smoothness_weight=opt.smoothness_weight,
                           consistency_weight=opt.consistency_weight,
                           leftright_consistency=opt.leftright_consistency,

@@ -323,12 +323,15 @@ def adapt(cfg: ExperimentConfig, variables: Optional[dict] = None,
         use_leftright=ac.leftright_consistency,
         consistency_weight=ac.consistency_weight,
         gate=ac.gate, gate_apply=gate_apply,
+        warp_precision=ac.warp_precision,
     )
     gate_score_fn = jax.jit(gate_apply) if use_recon_gate else None
-    infer = make_infer_step(model, s, k, smoothness_weight=ac.smoothness_weight)
+    infer = make_infer_step(model, s, k, smoothness_weight=ac.smoothness_weight,
+                            warp_precision=ac.warp_precision)
     eval_step = make_eval_step(model, s, k)
     viz_step = make_viz_step(model, s) if cfg.log_images else None
-    validate_fn = make_ovs_validate_step(model, s, smoothness_weight=ac.smoothness_weight)
+    validate_fn = make_ovs_validate_step(model, s, smoothness_weight=ac.smoothness_weight,
+                                         warp_precision=ac.warp_precision)
 
     initial_state = State.DONE if ac.adapt_mode == "NONE" else State.IN_PROGRESS
     hs, ws = dc.height // 2 ** s, dc.width // 2 ** s

@@ -92,6 +92,11 @@ class AdaptConfig:
     smoothness_weight: float = 1e-3
     consistency_weight: float = 1e-3
     leftright_consistency: bool = False
+    # MXU precision of the loss warp's banded one-hot contraction:
+    # "highest" = exact grid_sample parity (default); "high" = 2.7e-5 max
+    # error, ~30% faster backward; "default" = 4e-3 max error, ~2.4x faster
+    # backward at fleet batch sizes (artifacts/exp_warp_precision_r4.log).
+    warp_precision: str = "highest"
     skip_initial_eval: bool = False
     # Experience-replay (training-domain) dataset.
     train_dataset_path: str = ""

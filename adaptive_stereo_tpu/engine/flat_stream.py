@@ -120,6 +120,7 @@ def make_flat_streaming_steps(
     fused_er_forward: bool = False,
     use_leftright: bool = False,
     consistency_weight: float = 1e-3,
+    warp_precision: str = "highest",
 ):
     """Returns (adapt_step, done_step, validate_step, make_done_step_batched)
     over FlatStreamState.
@@ -220,7 +221,8 @@ def make_flat_streaming_steps(
                 mono, _ = monodepth_leftright_loss(
                     left, right, pred, flip(preds[1:2]),
                     smoothness_weight, consistency_weight,
-                    max_disp=warp_max_disp)
+                    max_disp=warp_max_disp,
+                warp_precision=warp_precision)
                 total = mono
                 replay = jnp.zeros(())
                 if use_er and fused_er_forward:
@@ -254,7 +256,8 @@ def make_flat_streaming_steps(
                 pred_b = outputs[f"pred_disp_l/{s}"]
                 mono, _ = monodepth_single_loss(
                     left, right, pred_b[0:1], smoothness_weight,
-                    max_disp=warp_max_disp)
+                    max_disp=warp_max_disp,
+                warp_precision=warp_precision)
                 replay = khamis_robust_loss(pred_b[1:2], er_gt)
                 total = mono + er_loss_weight * replay
                 # Stream-frame half of the batched cost volume drives FCS.
@@ -272,7 +275,8 @@ def make_flat_streaming_steps(
             stats = mut["batch_stats"]
             mono, _ = monodepth_single_loss(
                 left, right, outputs[f"pred_disp_l/{s}"], smoothness_weight,
-                max_disp=warp_max_disp)
+                max_disp=warp_max_disp,
+                warp_precision=warp_precision)
             total = mono
             replay = jnp.zeros(())
             if use_er:
@@ -326,7 +330,8 @@ def make_flat_streaming_steps(
             left, right, side="l", output_cost_volume=True, train=False)
         pred = outputs[f"pred_disp_l/{s}"]
         mono, _ = monodepth_single_loss(left, right, pred, smoothness_weight,
-                                        max_disp=warp_max_disp)
+                                        max_disp=warp_max_disp,
+                warp_precision=warp_precision)
         fcs_raw = mean_fcs_from_outputs(outputs, "l", coarse)
         epe = _epe(pred, gt)
 
@@ -379,7 +384,8 @@ def make_flat_streaming_steps(
             def metrics(l, r, p, g):
                 mono, _ = monodepth_single_loss(
                     l[None], r[None], p[None], smoothness_weight,
-                    max_disp=warp_max_disp)
+                    max_disp=warp_max_disp,
+                warp_precision=warp_precision)
                 return mono, _epe(p[None], g[None])
 
             monos, epes = jax.vmap(metrics)(lefts, rights, preds, gts)
@@ -423,7 +429,8 @@ def make_flat_streaming_steps(
         def per_item(l, r, p):
             loss, _ = monodepth_single_loss(l[None], r[None], p[None],
                                             smoothness_weight,
-                                            max_disp=warp_max_disp)
+                                            max_disp=warp_max_disp,
+                warp_precision=warp_precision)
             return loss
 
         losses = jax.vmap(per_item)(res.left, res.right, pred)

@@ -169,6 +169,7 @@ def make_adapt_loss(
     smoothness_weight: float = 1e-3,
     er_loss_weight: float = 0.05,
     use_er: bool = False,
+    warp_precision: str = "highest",
 ):
     """The adaptation loss as a pure function of params (reference
     adapt.py:327-396 loop body): main train-mode forward + Monodepth loss
@@ -197,7 +198,7 @@ def make_adapt_loss(
         stats = mut["batch_stats"]
         mono_loss, _warped = monodepth_single_loss(
             left, right, outputs[f"pred_disp_l/{input_scale}"], smoothness_weight,
-            max_disp=warp_max_disp,
+            max_disp=warp_max_disp, warp_precision=warp_precision,
         )
         losses = {"Monodepth/total_loss": mono_loss}
         total = mono_loss
@@ -231,6 +232,7 @@ def make_adapt_forward_backward(
     smoothness_weight: float = 1e-3,
     er_loss_weight: float = 0.05,
     use_er: bool = False,
+    warp_precision: str = "highest",
 ):
     """Fused adaptation forward+backward (reference adapt.py:327-396 loop body).
 
@@ -242,7 +244,8 @@ def make_adapt_forward_backward(
     """
     loss = make_adapt_loss(model, input_scale, k,
                            smoothness_weight=smoothness_weight,
-                           er_loss_weight=er_loss_weight, use_er=use_er)
+                           er_loss_weight=er_loss_weight, use_er=use_er,
+                           warp_precision=warp_precision)
 
     @jax.jit
     def fwd_bwd(params, batch_stats, batch, er_batch):
@@ -261,7 +264,8 @@ def make_adapt_forward_backward(
 
 
 def make_infer_step(
-    model, input_scale: int, k: int, smoothness_weight: float = 1e-3
+    model, input_scale: int, k: int, smoothness_weight: float = 1e-3,
+    warp_precision: str = "highest",
 ):
     """Eval-mode stream step for the DONE state (reference adapt.py:309-311):
     forward + Monodepth loss + FCS, no gradients, no BN mutation."""
@@ -280,7 +284,8 @@ def make_infer_step(
         )
         pred = outputs[f"pred_disp_l/{input_scale}"]
         mono_loss, _ = monodepth_single_loss(left, right, pred, smoothness_weight,
-                                             max_disp=warp_max_disp)
+                                             max_disp=warp_max_disp,
+                warp_precision=warp_precision)
         aux = {
             "Monodepth/total_loss": mono_loss,
             "fcs_raw": mean_fcs_from_outputs(outputs, "l", coarse),
@@ -335,6 +340,7 @@ def make_fused_adapt_step(
     consistency_weight: float = 1e-3,
     gate: str = "fcs",
     gate_apply=None,
+    warp_precision: str = "highest",
 ):
     """The WHOLE adaptation step as ONE XLA program: forward + Monodepth loss
     + FCS + replay + backward + OOD gate + masked Adam update.
@@ -409,7 +415,8 @@ def make_fused_adapt_step(
                 mono_loss, _ = monodepth_leftright_loss(
                     left, right, pred, pred_r,
                     smoothness_weight, consistency_weight,
-                    max_disp=warp_max_disp)
+                    max_disp=warp_max_disp,
+                warp_precision=warp_precision)
                 # Left-centered half of the batched cost volume drives FCS.
                 cv = outputs[f"cost_volume_x/{coarse}"][0:1]
                 fcs_raw_lr = jnp.mean(feature_contrast_mean(cv))
@@ -423,7 +430,7 @@ def make_fused_adapt_step(
                 pred = outputs[f"pred_disp_l/{input_scale}"]
                 mono_loss, _ = monodepth_single_loss(
                     left, right, pred, smoothness_weight,
-                    max_disp=warp_max_disp
+                    max_disp=warp_max_disp, warp_precision=warp_precision
                 )
                 fcs_raw_lr = None
             losses = {"Monodepth/total_loss": mono_loss}
@@ -524,7 +531,8 @@ def init_fcs_ema():
     return (jnp.zeros(()), jnp.zeros((), bool))
 
 
-def make_ovs_validate_step(model, input_scale: int, smoothness_weight: float = 1e-3):
+def make_ovs_validate_step(model, input_scale: int, smoothness_weight: float = 1e-3,
+                           warp_precision: str = "highest"):
     """Recompute the Monodepth loss for every OVS pair in ONE batched
     eval-mode forward (the reference loops per-image, adapt.py:122-142).
     Returns a (N,) vector of per-pair losses."""
@@ -540,7 +548,8 @@ def make_ovs_validate_step(model, input_scale: int, smoothness_weight: float = 1
 
         def per_item(l, r, p):
             loss, _ = monodepth_single_loss(l[None], r[None], p[None], smoothness_weight,
-                                            max_disp=warp_max_disp)
+                                            max_disp=warp_max_disp,
+                warp_precision=warp_precision)
             return loss
 
         return jax.vmap(per_item)(left_stack, right_stack, pred)

@@ -90,6 +90,7 @@ def make_streaming_steps(
     clip_grad_norm: bool = False,
     use_leftright: bool = False,
     consistency_weight: float = 1e-3,
+    warp_precision: str = "highest",
 ):
     """Returns (adapt_step, done_step, validate_step):
 
@@ -148,7 +149,8 @@ def make_streaming_steps(
                 mono, _ = monodepth_leftright_loss(
                     left, right, preds[0:1], flip(preds[1:2]),
                     smoothness_weight, consistency_weight,
-                    max_disp=warp_max_disp)
+                    max_disp=warp_max_disp,
+                warp_precision=warp_precision)
                 outputs = {key: v[0:1] for key, v in outputs.items()}
             else:
                 outputs, mut = model.apply(
@@ -159,7 +161,8 @@ def make_streaming_steps(
                 stats = mut["batch_stats"]
                 mono, _ = monodepth_single_loss(
                     left, right, outputs[f"pred_disp_l/{s}"], smoothness_weight,
-                    max_disp=warp_max_disp)
+                    max_disp=warp_max_disp,
+                warp_precision=warp_precision)
             total = mono
             replay = jnp.zeros(())
             if use_er:
@@ -220,7 +223,8 @@ def make_streaming_steps(
             left, right, side="l", output_cost_volume=True, train=False)
         pred = outputs[f"pred_disp_l/{s}"]
         mono, _ = monodepth_single_loss(left, right, pred, smoothness_weight,
-                                        max_disp=warp_max_disp)
+                                        max_disp=warp_max_disp,
+                warp_precision=warp_precision)
         fcs_raw = mean_fcs_from_outputs(outputs, "l", coarse)
         gt_key = f"gt_disp_l/{s}"
         epe = _epe(pred, batch[gt_key]) if gt_key in batch else jnp.zeros(())
@@ -252,7 +256,8 @@ def make_streaming_steps(
         def per_item(l, r, p):
             loss, _ = monodepth_single_loss(l[None], r[None], p[None],
                                             smoothness_weight,
-                                            max_disp=warp_max_disp)
+                                            max_disp=warp_max_disp,
+                warp_precision=warp_precision)
             return loss
 
         losses = jax.vmap(per_item)(res.left, res.right, pred)

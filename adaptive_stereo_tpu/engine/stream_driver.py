@@ -306,7 +306,8 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
         ood_threshold=ac.ood_threshold, fcs_ema_weight=ac.fcs_ema_weight,
         clip_grad_norm=oc.clip_grad_norm,
         use_leftright=ac.leftright_consistency,
-        consistency_weight=ac.consistency_weight)
+        consistency_weight=ac.consistency_weight,
+        warp_precision=ac.warp_precision)
     eval_step = make_eval_step(model, s, k)
 
     if engine == "flat":

@@ -144,6 +144,7 @@ def monodepth_single_loss(
     pred_disp_l: jnp.ndarray,
     smoothness_weight: float = 1e-3,
     max_disp: Optional[int] = None,
+    warp_precision: str = "highest",
 ):
     """Single-sided adaptation loss (reference adapt.py:78-86): warp the right
     image to the left view with the left disparity, photometric loss, masked
@@ -152,11 +153,16 @@ def monodepth_single_loss(
     max_disp: optional static disparity bound forwarded to the warp's banded
     one-hot matmul (see ops/warp.py) — engines pass the model's maxdisp at
     the loss scale.
+    warp_precision: MXU precision of the warp contraction; "highest"
+    (default) is exact grid_sample parity, "high" is 2.7e-5 off and ~30%
+    faster backward, "default" is 4e-3 off and ~2.4x faster backward at
+    fleet batch sizes (artifacts/exp_warp_precision_r4.log).
 
     Returns (scalar loss, left_warped image).
     """
     left_warped, mask = linear_warp(right_img, pred_disp_l, right_to_left=True,
-                                    max_disp=max_disp)
+                                    max_disp=max_disp,
+                                    precision=warp_precision)
     l_total = monodepth_loss(pred_disp_l, left_img, left_warped, smoothness_weight)[0]
     m = mask.astype(l_total.dtype)
     loss = jnp.sum(l_total * m) / jnp.maximum(jnp.sum(m), 1.0)
@@ -171,6 +177,7 @@ def monodepth_leftright_loss(
     smoothness_weight: float = 1e-3,
     consistency_weight: float = 1e-3,
     max_disp: Optional[int] = None,
+    warp_precision: str = "highest",
 ):
     """Left-right consistency Monodepth loss — the evident intent of reference
     loss_functions.py:141-190 (whose committed version is dead code; see module
@@ -179,17 +186,19 @@ def monodepth_leftright_loss(
     Returns (scalar loss, dict of warped outputs).
     """
     warped_disp_l, _ = linear_warp(pred_disp_r, pred_disp_l, right_to_left=True,
-                                   max_disp=max_disp)
+                                   max_disp=max_disp, precision=warp_precision)
     warped_disp_r, _ = linear_warp(pred_disp_l, pred_disp_r, right_to_left=False,
-                                   max_disp=max_disp)
+                                   max_disp=max_disp, precision=warp_precision)
 
     occ_mask_l = (pred_disp_l >= 0.95 * warped_disp_l)
     occ_mask_r = (pred_disp_r >= 0.95 * warped_disp_r)
 
     left_warped, left_mask = linear_warp(right_img, pred_disp_l, right_to_left=True,
-                                         max_disp=max_disp)
+                                         max_disp=max_disp,
+                                         precision=warp_precision)
     right_warped, right_mask = linear_warp(left_img, pred_disp_r, right_to_left=False,
-                                           max_disp=max_disp)
+                                           max_disp=max_disp,
+                                           precision=warp_precision)
 
     mask_l = jax.lax.stop_gradient((occ_mask_l & left_mask).astype(left_img.dtype))
     mask_r = jax.lax.stop_gradient((occ_mask_r & right_mask).astype(left_img.dtype))

@@ -123,6 +123,8 @@ def make_fused_fleet_step(
     fcs_ema_weight: float = 0.999,
     clip_grad_norm: bool = False,
     axis_name: str = "data",
+    warp_precision: str = "highest",
+    bn_mode: str = "per_stream",
 ):
     """The whole fleet adaptation step as ONE XLA program over the mesh.
 
@@ -132,17 +134,38 @@ def make_fused_fleet_step(
     one masked Adam update on the replicated params; shared BN running stats
     take the across-stream mean of per-stream updates.
 
+    bn_mode:
+      "per_stream" (default): each stream's forward normalizes with its OWN
+      batch statistics — exactly the reference's batch-1 train-mode BN
+      (adapt.py:313-314) replicated per camera. Implemented as a vmapped
+      per-stream loss; XLA materializes stream-split <-> merged layout
+      conversions around every BN, measured at ~35% overhead over the
+      merged-batch control at N=2 (artifacts/profile_fleet_r4.log).
+      "shared": ONE merged forward over all local streams; BN batch
+      statistics span the whole local fleet batch. Documented deviation
+      (same family as the engines' fused_er_forward BN batching): streams
+      couple through normalization statistics — acceptable for production
+      fleet serving, where cross-camera stats are typically MORE stable
+      than batch-1 stats; per-stream losses/FCS/gating are unchanged.
+
     step(state, ema_n, batch_n, er_batch_n, would_add_n, in_progress_n)
       -> (new_state, new_ema_n, aux_n)
     where ema_n = ((N,) values, (N,) init flags), in_progress_n masks streams
-    whose state machine is DONE (they contribute no gradient; their BN stats
-    update is also masked out).
+    whose state machine is DONE (they contribute no gradient; in per_stream
+    mode their BN stats update is also masked out — shared mode's joint
+    statistics cannot exclude them, documented above).
     """
     from ..engine.steps import _epe, make_adapt_loss
+    from ..ops import feature_contrast_mean, khamis_robust_loss
+    from ..ops import monodepth_single_loss as _mono_loss
+
+    if bn_mode not in ("per_stream", "shared"):
+        raise ValueError(f"unknown bn_mode {bn_mode!r}")
 
     loss_one = make_adapt_loss(
         model, input_scale, k, smoothness_weight=smoothness_weight,
         er_loss_weight=er_loss_weight, use_er=use_er,
+        warp_precision=warp_precision,
     )
 
     def per_stream_loss(params, batch_stats, batch, er_batch):
@@ -160,14 +183,66 @@ def make_fused_fleet_step(
     # 121.6 ms vs 58.1 ms native; n=1 28.4 ms).
     vloss = jax.vmap(per_stream_loss, in_axes=(None, None, 0, 0))
 
+    coarse = input_scale + k
+    warp_max_disp = -(-model.maxdisp // 2 ** input_scale)
+
+    def merged_loss(p, batch_stats, batch_n, er_batch_n):
+        """bn_mode='shared': one merged forward, per-stream loss vector.
+        Returns the same (totals_n, (losses_n, stats, fcs_n, pred_n))
+        contract as vloss, except `stats` has no leading stream axis."""
+        left_n = batch_n[f"color_l/{input_scale}"]
+        right_n = batch_n[f"color_r/{input_scale}"]
+        outputs, mut = model.apply(
+            {"params": p, "batch_stats": batch_stats},
+            left_n, right_n, side="l", output_cost_volume=True, train=True,
+            mutable=["batch_stats"],
+        )
+        stats = mut["batch_stats"]
+        pred_n = outputs[f"pred_disp_l/{input_scale}"]
+
+        def per_stream_mono(l, r, pd):
+            return _mono_loss(l[None], r[None], pd[None], smoothness_weight,
+                              max_disp=warp_max_disp,
+                              warp_precision=warp_precision)[0]
+
+        mono_n = jax.vmap(per_stream_mono)(left_n, right_n, pred_n)
+        losses_n = {"Monodepth/total_loss": mono_n}
+        totals_n = mono_n
+        if use_er:
+            er_out, mut2 = model.apply(
+                {"params": p, "batch_stats": stats},
+                er_batch_n[f"color_l/{input_scale}"],
+                er_batch_n[f"color_r/{input_scale}"],
+                side="l", output_cost_volume=False, train=True,
+                mutable=["batch_stats"],
+            )
+            stats = mut2["batch_stats"]
+            er_pred_n = er_out[f"pred_disp_l/{input_scale}"]
+            er_gt_n = er_batch_n[f"gt_disp_l/{input_scale}"]
+            rep_n = jax.vmap(
+                lambda pd, gt: khamis_robust_loss(pd[None], gt[None]))(
+                    er_pred_n, er_gt_n)
+            losses_n["Replay/total_loss"] = rep_n
+            totals_n = totals_n + er_loss_weight * rep_n
+        fkey = f"fcs_l/{coarse}"
+        fmap = (outputs[fkey] if fkey in outputs else
+                feature_contrast_mean(outputs[f"cost_volume_l/{coarse}"]))
+        fcs_n = jnp.mean(fmap.reshape(fmap.shape[0], -1), axis=1)
+        # pred_n with a per-stream singleton batch axis, matching vloss.
+        return totals_n, (losses_n, stats, fcs_n, pred_n[:, None])
+
     def local_step(params, batch_stats, opt_state, ema_n, batch_n, er_batch_n,
                    would_add_n, in_progress_n):
         """Runs on each device over its LOCAL streams; collectives combine."""
         ema_values, ema_init = ema_n
 
         def weighted_total(p):
-            totals_n, (losses_n, stats_n, fcs_n, pred_n) = vloss(
-                p, batch_stats, batch_n, er_batch_n)
+            if bn_mode == "shared":
+                totals_n, (losses_n, stats_n, fcs_n, pred_n) = merged_loss(
+                    p, batch_stats, batch_n, er_batch_n)
+            else:
+                totals_n, (losses_n, stats_n, fcs_n, pred_n) = vloss(
+                    p, batch_stats, batch_n, er_batch_n)
             # Per-stream device-side OOD gate (local slice of the EMA
             # vectors); FCS is a gating signal, never a training signal.
             fcs_raw = jax.lax.stop_gradient(fcs_n)
@@ -219,9 +294,19 @@ def make_fused_fleet_step(
         denom_a = jnp.maximum(jax.lax.psum(jnp.sum(wa), axis_name), 1.0)
         any_active = jax.lax.psum(jnp.sum(wa), axis_name) > 0
 
-        def stats_mean(s_n, s_old):
-            m = jax.lax.psum(jnp.tensordot(wa, s_n, axes=(0, 0)), axis_name) / denom_a
-            return jnp.where(any_active, m, s_old)
+        if bn_mode == "shared":
+            # Merged-forward stats carry no stream axis: across-device mean
+            # of the jointly-updated stats when any stream is active.
+            ndev = jax.lax.psum(1.0, axis_name)
+
+            def stats_mean(s_new, s_old):
+                m = jax.lax.psum(s_new, axis_name) / ndev
+                return jnp.where(any_active, m, s_old)
+        else:
+            def stats_mean(s_n, s_old):
+                m = jax.lax.psum(jnp.tensordot(wa, s_n, axes=(0, 0)),
+                                 axis_name) / denom_a
+                return jnp.where(any_active, m, s_old)
 
         new_stats = jax.tree.map(stats_mean, stats_n, batch_stats)
 

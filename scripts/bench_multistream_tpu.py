@@ -43,6 +43,19 @@ def main():
     p.add_argument("--fused", action="store_true", default=True,
                    help="fused_siamese + s2d tower (the bench.py config)")
     p.add_argument("--out", default="")
+    p.add_argument("--bn_mode", default="per_stream",
+                   choices=["per_stream", "shared"],
+                   help="fleet BN statistics: per_stream (reference batch-1 "
+                        "semantics per camera) or shared (merged-batch "
+                        "joint statistics — documented fleet-serving "
+                        "deviation; avoids the per-stream vmap's layout "
+                        "conversions)")
+    p.add_argument("--warp_precision", default="default",
+                   help="loss-warp MXU precision for the fleet step; the "
+                        "bf16 fleet config defaults to 'default' (4e-3 warp "
+                        "error under bf16 model noise; 2.4x faster backward "
+                        "— artifacts/exp_warp_precision_r4.log). Use "
+                        "'highest' for the exact-parity measurement.")
     p.add_argument("--certify", action="store_true",
                    help="paper-shape fleet certification: per-stream grads "
                         "from the sharded fleet fwd+bwd == running each "
@@ -115,7 +128,9 @@ def main():
     ctx = {}
     fused = make_fused_fleet_step(model, mesh, s, k, use_er=True,
                                   use_vs=True, ood_threshold=12.76,
-                                  clip_grad_norm=True)
+                                  clip_grad_norm=True,
+                                  warp_precision=a.warp_precision,
+                                  bn_mode=a.bn_mode)
     for n in a.sizes:
         batch = {
             f"color_l/{s}": jnp.asarray(rng.rand(n, hs, ws, 3), jnp.float32),

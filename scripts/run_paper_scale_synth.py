@@ -86,6 +86,10 @@ def parse_args():
     p.add_argument("--name_suffix", default="",
                    help="suffix for adaptation run names (probe runs that "
                         "must not collide with the main suite)")
+    p.add_argument("--ovs_guard_tolerance", type=float, default=0.0,
+                   help="enable the OVS trust-region guard for phase-3 runs "
+                        "(VERDICT r3 item 5: re-run the diverged fused-f32 "
+                        "VS config with the guard armed)")
     return p.parse_args()
 
 
@@ -320,6 +324,7 @@ def phase3_suite(a, train_root, novel_root, variables, threshold):
             # Pre-adaptation row once per config (the reference table's
             # 0-step EPE; other methods share the same pretrained weights).
             cfg.adapt.skip_initial_eval = (method != "nonstop")
+            cfg.adapt.ovs_guard_tolerance = a.ovs_guard_tolerance
             t0 = time.perf_counter()
             # device_cache: the whole stream lives in HBM (bit-exact at
             # s=0) — required on the axon backend, whose per-upload host
@@ -338,6 +343,7 @@ def phase3_suite(a, train_root, novel_root, variables, threshold):
             with open(os.path.join(a.artifacts, f"{run_name}_summary.json"),
                       "w") as f:
                 json.dump({"gradient_updates": r["gradient_updates"],
+                           "guard_rollbacks": r.get("guard_rollbacks", 0),
                            "steps": r["steps"],
                            "steps_per_sec": r["steps_per_sec"],
                            "final_state": r["final_state"],

@@ -131,6 +131,75 @@ def test_fused_fleet_step_equals_weighted_per_stream_grads(setup):
                                    rtol=2e-4, atol=2e-6)
 
 
+def test_fused_fleet_step_shared_bn_mode(setup):
+    """bn_mode='shared' (merged-batch forward, joint BN statistics — the
+    documented fleet-serving deviation that avoids the per-stream vmap's
+    stream-split<->merged layout conversions, artifacts/profile_fleet_r4.log):
+
+    - at ONE stream the merged batch IS the per-stream batch, so shared and
+      per_stream modes must agree exactly;
+    - at N streams the gate/masking semantics are unchanged: per-stream aux
+      vectors, diverted streams excluded from the update, no-active-streams
+      leaves params untouched."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from adaptive_stereo_tpu.parallel import make_mesh
+
+    model, state, mesh, batch_n = setup
+
+    # N=1 equivalence on a single-device mesh.
+    mesh1 = make_mesh(1)
+    bn_full, en_full = batch_n(21), batch_n(22)
+    # Re-materialize single-stream slices as plain host arrays — the module
+    # fixture's batches are sharded over the 8-device mesh.
+    b1 = {key: jnp.asarray(np.asarray(v[:1])) for key, v in bn_full.items()}
+    e1 = {key: jnp.asarray(np.asarray(v[:1])) for key, v in en_full.items()}
+    ema1 = init_fleet_fcs_ema(1)
+    would1 = jnp.asarray([False])
+    prog1 = jnp.asarray([True])
+    outs = {}
+    for mode in ("per_stream", "shared"):
+        fused1 = make_fused_fleet_step(model, mesh1, S, K, use_er=True,
+                                       use_vs=True, ood_threshold=1e9,
+                                       clip_grad_norm=True, bn_mode=mode)
+        st, ema_o, aux = fused1(state, ema1, b1, e1, would1, prog1)
+        outs[mode] = (st, aux)
+    # Forward-level equality: losses/FCS/EPE agree to f32 ulp noise. (The
+    # post-Adam params are NOT compared: near-zero gradients update by
+    # ~±lr*sign(g), so single-ulp contraction-order differences between the
+    # vmapped and merged forward flip signs on tiny weights — the same
+    # amplification quantified in tests/test_lockstep_reference.py.)
+    for key in ("Monodepth/total_loss", "Replay/total_loss", "fcs_raw", "EPE"):
+        np.testing.assert_allclose(
+            np.asarray(outs["per_stream"][1][key]),
+            np.asarray(outs["shared"][1][key]), rtol=1e-5,
+            err_msg=key)
+    assert bool(outs["per_stream"][1]["do_update"][0]) == \
+        bool(outs["shared"][1]["do_update"][0])
+
+    # N-stream semantics: shapes, masking, no-active-stream no-op.
+    fused = make_fused_fleet_step(model, mesh, S, K, use_er=True, use_vs=True,
+                                  ood_threshold=1e9, clip_grad_norm=True,
+                                  bn_mode="shared")
+    bn, en = batch_n(23), batch_n(24)
+    would = jnp.asarray([i % 2 == 0 for i in range(N)])
+    in_prog = jnp.asarray([True] * N)
+    st, ema_o, aux = fused(state, init_fleet_fcs_ema(N), bn, en, would, in_prog)
+    assert aux["Monodepth/total_loss"].shape == (N,)
+    assert aux["fcs_raw"].shape == (N,)
+    np.testing.assert_array_equal(np.asarray(aux["do_update"]),
+                                  ~np.asarray(would))
+    moved = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), st.params, state.params)))
+    assert moved > 0
+    # All streams DONE: params and opt state must not move.
+    st2, _, aux2 = fused(state, init_fleet_fcs_ema(N), bn, en,
+                         jnp.asarray([False] * N), jnp.asarray([False] * N))
+    assert not bool(np.asarray(aux2["do_update"]).any())
+    for a, b in zip(jax.tree.leaves(st2.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fleet_adapt_driver_runs(setup):
     """End-to-end fleet driver on 8 synthetic in-memory streams."""
     model, state, mesh, batch_n = setup
