@@ -125,6 +125,7 @@ def make_fused_fleet_step(
     axis_name: str = "data",
     warp_precision: str = "highest",
     bn_mode: str = "per_stream",
+    remat: bool = False,
 ):
     """The whole fleet adaptation step as ONE XLA program over the mesh.
 
@@ -186,17 +187,27 @@ def make_fused_fleet_step(
     coarse = input_scale + k
     warp_max_disp = -(-model.maxdisp // 2 ** input_scale)
 
+    def _apply_train(p, batch_stats, left, right, output_cost_volume):
+        fn = lambda p_, bs_, l_, r_: model.apply(
+            {"params": p_, "batch_stats": bs_}, l_, r_, side="l",
+            output_cost_volume=output_cost_volume, train=True,
+            mutable=["batch_stats"])
+        if remat:
+            # Rematerialize the forward in the backward pass: trades extra
+            # (cheap, MXU-idle) recompute FLOPs for not round-tripping the
+            # stashed activations through HBM — the bandwidth-bound regime's
+            # classic lever (scaling-book recipe; measured in
+            # artifacts/bench_multistream_r4*.log).
+            fn = jax.checkpoint(fn)
+        return fn(p, batch_stats, left, right)
+
     def merged_loss(p, batch_stats, batch_n, er_batch_n):
         """bn_mode='shared': one merged forward, per-stream loss vector.
         Returns the same (totals_n, (losses_n, stats, fcs_n, pred_n))
         contract as vloss, except `stats` has no leading stream axis."""
         left_n = batch_n[f"color_l/{input_scale}"]
         right_n = batch_n[f"color_r/{input_scale}"]
-        outputs, mut = model.apply(
-            {"params": p, "batch_stats": batch_stats},
-            left_n, right_n, side="l", output_cost_volume=True, train=True,
-            mutable=["batch_stats"],
-        )
+        outputs, mut = _apply_train(p, batch_stats, left_n, right_n, True)
         stats = mut["batch_stats"]
         pred_n = outputs[f"pred_disp_l/{input_scale}"]
 
@@ -209,13 +220,10 @@ def make_fused_fleet_step(
         losses_n = {"Monodepth/total_loss": mono_n}
         totals_n = mono_n
         if use_er:
-            er_out, mut2 = model.apply(
-                {"params": p, "batch_stats": stats},
+            er_out, mut2 = _apply_train(
+                p, stats,
                 er_batch_n[f"color_l/{input_scale}"],
-                er_batch_n[f"color_r/{input_scale}"],
-                side="l", output_cost_volume=False, train=True,
-                mutable=["batch_stats"],
-            )
+                er_batch_n[f"color_r/{input_scale}"], False)
             stats = mut2["batch_stats"]
             er_pred_n = er_out[f"pred_disp_l/{input_scale}"]
             er_gt_n = er_batch_n[f"gt_disp_l/{input_scale}"]

@@ -43,6 +43,10 @@ def main():
     p.add_argument("--fused", action="store_true", default=True,
                    help="fused_siamese + s2d tower (the bench.py config)")
     p.add_argument("--out", default="")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the merged forward in the backward "
+                        "(bn_mode=shared only): trade MXU-idle recompute "
+                        "for HBM activation traffic")
     p.add_argument("--bn_mode", default="per_stream",
                    choices=["per_stream", "shared"],
                    help="fleet BN statistics: per_stream (reference batch-1 "
@@ -130,7 +134,7 @@ def main():
                                   use_vs=True, ood_threshold=12.76,
                                   clip_grad_norm=True,
                                   warp_precision=a.warp_precision,
-                                  bn_mode=a.bn_mode)
+                                  bn_mode=a.bn_mode, remat=a.remat)
     for n in a.sizes:
         batch = {
             f"color_l/{s}": jnp.asarray(rng.rand(n, hs, ws, 3), jnp.float32),

@@ -78,6 +78,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="*", default=[1, 2])
     ap.add_argument("--skip_native", action="store_true")
+    ap.add_argument("--bn_mode", default="per_stream")
+    ap.add_argument("--warp_precision", default="highest")
     args = ap.parse_args()
 
     k, s, h, w = 4, 0, 320, 960
@@ -88,8 +90,11 @@ def main():
     state0 = create_train_state(model, jax.random.PRNGKey(0), left, left, 5e-5)
     mesh = make_mesh(1)
     fused = make_fused_fleet_step(model, mesh, s, k, use_er=True, use_vs=True,
-                                  ood_threshold=12.76, clip_grad_norm=True)
-    print(f"[profile_fleet] device={jax.devices()[0]}", flush=True)
+                                  ood_threshold=12.76, clip_grad_norm=True,
+                                  bn_mode=args.bn_mode,
+                                  warp_precision=args.warp_precision)
+    print(f"[profile_fleet] device={jax.devices()[0]} bn_mode={args.bn_mode} "
+          f"warp_precision={args.warp_precision}", flush=True)
 
     for n in args.sizes:
         batch = {
