@@ -74,6 +74,19 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--train_split", type=str, default="")
         sp.add_argument("--ood_threshold", type=float, default=15.0)
         sp.add_argument("--fcs_ema_weight", type=float, default=0.999)
+        sp.add_argument("--ovs_guard_train_epe_factor", type=float,
+                        default=0.0,
+                        help="streaming engines: roll back at eval "
+                             "boundaries when the train-domain EPE exceeds "
+                             "factor x its pre-adaptation value "
+                             "(GT-supervised forgetting/collapse guard); "
+                             "0 disables")
+        sp.add_argument("--ovs_guard_disp_band", type=float, default=0.0,
+                        help="streaming engines: roll back when the OVS "
+                             "mean |disparity| leaves [ref/band, ref*band] "
+                             "of the first validation's scale (catches "
+                             "photometric-consistent collapse, which the "
+                             "loss-threshold guard cannot see); 0 disables")
         sp.add_argument("--warp_precision", default="highest",
                         choices=["highest", "high", "default"],
                         help="MXU precision of the loss warp contraction: "
@@ -159,6 +172,9 @@ def options_to_config(opt) -> ExperimentConfig:
                           fcs_ema_weight=opt.fcs_ema_weight,
                           ovs_guard_tolerance=getattr(opt, "ovs_guard_tolerance", 0.0),
                           warp_precision=getattr(opt, "warp_precision", "highest"),
+                          ovs_guard_disp_band=getattr(opt, "ovs_guard_disp_band", 0.0),
+                          ovs_guard_train_epe_factor=getattr(
+                              opt, "ovs_guard_train_epe_factor", 0.0),
                           smoothness_weight=opt.smoothness_weight,
                           consistency_weight=opt.consistency_weight,
                           leftright_consistency=opt.leftright_consistency,
@@ -197,7 +213,10 @@ def main(argv=None) -> int:
 
     if opt.command == "adapt":
         print("\nStarting adaptation ...")
-        if opt.engine == "classic" and getattr(opt, "ovs_guard_tolerance", 0.0) > 0.0:
+        if opt.engine == "classic" and (
+                getattr(opt, "ovs_guard_tolerance", 0.0) > 0.0
+                or getattr(opt, "ovs_guard_disp_band", 0.0) > 0.0
+                or getattr(opt, "ovs_guard_train_epe_factor", 0.0) > 0.0):
             # The trust-region guard lives in the streaming driver; silently
             # running unguarded would defeat the user's intent (ADVICE r3).
             raise SystemExit(

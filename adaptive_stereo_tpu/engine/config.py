@@ -97,6 +97,18 @@ class AdaptConfig:
     # error, ~30% faster backward; "default" = 4e-3 max error, ~2.4x faster
     # backward at fleet batch sizes (artifacts/exp_warp_precision_r4.log).
     warp_precision: str = "highest"
+    # Second guard channel: roll back when the OVS mean |predicted disparity|
+    # leaves [ref/band, ref*band] of the first validation's scale — catches
+    # photometric-consistent collapse, which keeps the OVS LOSS flat and is
+    # invisible to ovs_guard_tolerance (measured:
+    # artifacts/paper_scale_r4/ANALYSIS.md). 0 disables.
+    ovs_guard_disp_band: float = 0.0
+    # Third guard channel (eval-boundary, GT-supervised): roll back when the
+    # TRAIN-domain EPE exceeds factor x its pre-adaptation value
+    # (catastrophic-forgetting containment — the one signal measured to
+    # catch photometric-consistent collapse; artifacts/paper_scale_r4).
+    # 0 disables.
+    ovs_guard_train_epe_factor: float = 0.0
     skip_initial_eval: bool = False
     # Experience-replay (training-domain) dataset.
     train_dataset_path: str = ""

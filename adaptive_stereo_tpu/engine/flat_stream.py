@@ -438,6 +438,16 @@ def make_flat_streaming_steps(
         mask = jnp.arange(cap) < res.size
         new_res = reservoir_set_values(res, jnp.where(mask, losses, res.values))
         ss = ss.replace(reservoir=new_res)
-        return ss, reservoir_average_value(new_res), new_res.size
+        # Mean |disparity| over the filled OVS entries: the guard's second
+        # channel. The round-4 paper-scale guard study measured that
+        # photometric-consistent collapse (train EPE 107) keeps the OVS
+        # loss FLAT at ~0.218 — self-supervised validation is blind to it —
+        # while the prediction magnitudes explode
+        # (artifacts/paper_scale_r4/ANALYSIS.md).
+        mean_disp = (
+            jnp.sum(jnp.where(mask[:, None, None, None], jnp.abs(pred), 0.0))
+            / jnp.maximum(jnp.sum(mask.astype(jnp.float32))
+                          * pred.shape[1] * pred.shape[2] * pred.shape[3], 1.0))
+        return ss, reservoir_average_value(new_res), new_res.size, mean_disp
 
     return adapt_step, done_step, validate_step, make_done_step_batched

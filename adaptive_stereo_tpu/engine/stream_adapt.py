@@ -97,7 +97,7 @@ def make_streaming_steps(
     adapt_step(ss, batch, er_batch, frame_idx) -> ss      [IN_PROGRESS]
     done_step(ss, batch, frame_idx) -> ss                 [DONE: eval fwd,
         EMA + gated reservoir add still device-side; no param/BN updates]
-    validate_step(ss) -> (ss, avg_loss, size)             [batched OVS pass]
+    validate_step(ss) -> (ss, avg_loss, size, mean_|disp|) [batched OVS pass]
     """
     coarse = input_scale + k
     s = input_scale
@@ -266,6 +266,10 @@ def make_streaming_steps(
         new_values = jnp.where(mask, losses, res.values)
         new_res = reservoir_set_values(res, new_values)
         ss = ss.replace(reservoir=new_res)
-        return ss, reservoir_average_value(new_res), new_res.size
+        mean_disp = (
+            jnp.sum(jnp.where(mask[:, None, None, None], jnp.abs(pred), 0.0))
+            / jnp.maximum(jnp.sum(mask.astype(jnp.float32))
+                          * pred.shape[1] * pred.shape[2] * pred.shape[3], 1.0))
+        return ss, reservoir_average_value(new_res), new_res.size, mean_disp
 
     return adapt_step, done_step, validate_step

@@ -55,35 +55,135 @@ class TrustRegionGuard:
 
     CHURN_HARD_FACTOR = 10.0
 
-    def __init__(self, tol: float, snapshot_fn, restore_fn):
+    def __init__(self, tol: float, snapshot_fn, restore_fn,
+                 disp_band: float = 0.0, train_epe_factor: float = 0.0):
         self.tol = float(tol)
+        self.disp_band = float(disp_band)
+        self.train_epe_factor = float(train_epe_factor)
         self.snapshot_fn = snapshot_fn
         self.restore_fn = restore_fn
         self.best = float("inf")
         self.snap = None
         self.stale = False
         self.rollbacks = 0
+        self.disp_ref = None
+        self.train_epe_ref = None
+
+    @property
+    def enabled(self) -> bool:
+        return self.tol > 0.0 or self.disp_band > 0.0 or \
+            self.train_epe_factor > 0.0
 
     def mark_churn(self):
         self.stale = True
 
-    def check(self, ss, avg_loss: float):
-        """Returns (ss, rolled_back)."""
-        if self.tol <= 0.0:
+    def check_train_epe(self, ss, train_epe: float, factor: float):
+        """Third channel, evaluated at EVAL boundaries (GT-supervised):
+        roll back when the TRAIN-domain EPE exceeds factor x its
+        pre-adaptation value. This is catastrophic-forgetting containment —
+        the exact quantity the ER method exists to protect (reference
+        adaptation.csv rows) — and the only signal measured to be
+        UN-blindable by photometric-consistent collapse: the round-4 study
+        found both OVS-loss thresholds (loss stays flat at 0.218) and
+        prediction-scale bands (the pre-adaptation model on a severe shift
+        is itself scale-degenerate, mean |disp| 59.9) miss the collapse,
+        while train EPE blows 2.3 -> 24.7 by the first eval
+        (artifacts/paper_scale_r4/ANALYSIS.md). Returns (ss, rolled)."""
+        if factor <= 0.0:
+            return ss, False
+        if self.train_epe_ref is None:
+            if np.isfinite(train_epe):
+                self.train_epe_ref = float(train_epe)
+                if self.snap is None:
+                    self.snap = self.snapshot_fn(ss)
+            return ss, False
+        if not np.isfinite(train_epe) or \
+                train_epe > self.train_epe_ref * factor:
+            if self.snap is None:
+                return ss, False
+            self.rollbacks += 1
+            print(f"[ OVS-GUARD ] train-domain EPE {train_epe:.3f} exceeds "
+                  f"{factor:.1f}x its pre-adaptation value "
+                  f"{self.train_epe_ref:.3f} (catastrophic forgetting / "
+                  f"collapse); rolling back to the best snapshot "
+                  f"(rollback #{self.rollbacks})")
+            return self.restore_fn(ss, self.snap), True
+        # In-band eval: this model is certified non-forgetting — refresh the
+        # snapshot so rollbacks restore the latest healthy state.
+        self.snap = self.snapshot_fn(ss)
+        return ss, False
+
+    def pin_initial(self, ss, mean_disp: float):
+        """Pin the plausible prediction scale AND an initial snapshot from
+        the PRE-ADAPTATION model. The round-4 paper-scale study showed
+        collapse can complete before the first OVS validation (EPE 59 by
+        step 1000, first validation at step 200 already degenerate,
+        artifacts/paper_scale_r4/ANALYSIS.md), so a first-validation
+        reference — and a snapshotless first rollback opportunity — both
+        arrive too late."""
+        self.disp_ref = max(float(mean_disp), 1e-3)
+        self.snap = self.snapshot_fn(ss)
+
+    def check(self, ss, avg_loss: float, mean_disp: Optional[float] = None):
+        """Returns (ss, rolled_back).
+
+        mean_disp: mean |predicted disparity| over the OVS (second guard
+        channel, active when disp_band > 0). The round-4 paper-scale study
+        measured that photometric-consistent collapse — train EPE 107 with
+        the OVS loss FLAT at ~0.218 — is INVISIBLE to any loss threshold
+        (artifacts/paper_scale_r4/ANALYSIS.md), while the disparity scale
+        explodes; a validation whose mean |disp| leaves
+        [ref/band, ref*band] of the FIRST validation's scale rolls back.
+        OVS churn cannot plausibly move the mean prediction scale, so this
+        channel ignores churn staleness.
+        """
+        if not self.enabled:
             return ss, False
         nonfinite = not np.isfinite(avg_loss)
-        if self.snap is not None:
+        disp_bad = False
+        if self.disp_band > 0.0 and mean_disp is not None:
+            if not np.isfinite(mean_disp):
+                disp_bad = True
+            elif self.disp_ref is not None:
+                disp_bad = (mean_disp > self.disp_ref * self.disp_band or
+                            mean_disp < self.disp_ref / self.disp_band)
+        if self.snap is not None and (disp_bad or nonfinite):
+            self.rollbacks += 1
+            why = ("is non-finite" if nonfinite else
+                   f"mean |disp| {mean_disp:.3f} left the plausibility band "
+                   f"[{self.disp_ref / self.disp_band:.3f}, "
+                   f"{self.disp_ref * self.disp_band:.3f}]")
+            print(f"[ OVS-GUARD ] validation {avg_loss:.5f} {why}; rolling "
+                  f"back to the best snapshot (rollback #{self.rollbacks})")
+            return self.restore_fn(ss, self.snap), True
+        if self.tol > 0.0 and self.snap is not None and not nonfinite:
             limit = self.best * (self.CHURN_HARD_FACTOR if self.stale
                                  else (1.0 + self.tol))
-            if nonfinite or avg_loss > limit:
+            if avg_loss > limit:
                 self.rollbacks += 1
-                why = ("is non-finite" if nonfinite else
-                       f"exceeds the {'churn-hardened ' if self.stale else ''}"
+                why = (f"exceeds the {'churn-hardened ' if self.stale else ''}"
                        f"limit {limit:.5f} (best {self.best:.5f})")
                 print(f"[ OVS-GUARD ] validation {avg_loss:.5f} {why}; rolling "
                       f"back to the best snapshot (rollback #{self.rollbacks})")
                 return self.restore_fn(ss, self.snap), True
+        # Snapshot acceptance: with the disparity channel armed, only models
+        # comfortably INSIDE the band (inner band sqrt(disp_band)) may become
+        # the snapshot — the collapse LOWERS the photometric loss, so
+        # best-loss snapshots would otherwise track the collapse itself.
+        disp_ok = True
+        if self.disp_band > 0.0 and self.disp_ref is not None and \
+                mean_disp is not None and np.isfinite(mean_disp):
+            inner = float(np.sqrt(self.disp_band))
+            disp_ok = (self.disp_ref / inner <= mean_disp
+                       <= self.disp_ref * inner)
         if not nonfinite:
+            if self.disp_ref is None and self.disp_band > 0.0 and \
+                    mean_disp is not None and np.isfinite(mean_disp):
+                # Fallback when pin_initial was not called: the first
+                # validation pins the plausible prediction scale.
+                self.disp_ref = max(float(mean_disp), 1e-3)
+            if not disp_ok:
+                return ss, False
             if self.stale:
                 # First validation on a churned buffer: re-baseline, but
                 # ratchet `best` upward by at most one tolerance band per
@@ -387,7 +487,10 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
         def guard_restore(ss, snap):
             return ss.replace(train=jax.tree.map(jnp.copy, snap))
 
-    guard = TrustRegionGuard(ac.ovs_guard_tolerance, guard_snapshot, guard_restore)
+    guard = TrustRegionGuard(
+        ac.ovs_guard_tolerance, guard_snapshot, guard_restore,
+        disp_band=getattr(ac, "ovs_guard_disp_band", 0.0),
+        train_epe_factor=getattr(ac, "ovs_guard_train_epe_factor", 0.0))
 
     resume_step = 0
     if resume_from is not None:
@@ -401,9 +504,32 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
         guard.best = float(host["guard"]["best"])
         guard.stale = bool(host["guard"]["stale"])
         guard.rollbacks = int(host["guard"]["rollbacks"])
+        if host["guard"].get("disp_ref") is not None:
+            guard.disp_ref = float(host["guard"]["disp_ref"])
+        if host["guard"].get("train_epe_ref") is not None:
+            guard.train_epe_ref = float(host["guard"]["train_epe_ref"])
         resume_step = int(host["step"])
         print(f"[ RESUME ] restored streaming state at step {resume_step} "
               f"(machine={machine.state.name}, OVS size={int(ss.reservoir.size)})")
+
+    if guard.disp_band > 0.0 and resume_from is None:
+        # Pin the disparity-plausibility reference + initial snapshot from
+        # the PRE-ADAPTATION model (see TrustRegionGuard.pin_initial): one
+        # eval forward over the first adapt-val batch.
+        first = next(iter(adapt_val_loader))
+        v0 = current_variables(ss)
+        pred0 = jax.jit(
+            lambda p, bs, l, r: model.apply(
+                {"params": p, "batch_stats": bs}, l, r, side="l",
+                train=False)[f"pred_disp_l/{s}"]
+        )(v0["params"], v0["batch_stats"],
+          jax.device_put(jnp.asarray(first[f"color_l/{s}"])),
+          jax.device_put(jnp.asarray(first[f"color_r/{s}"])))
+        guard.pin_initial(ss, float(jnp.mean(jnp.abs(pred0))))
+        print(f"[ OVS-GUARD ] pre-adaptation mean |disp| = "
+              f"{guard.disp_ref:.3f}; plausibility band "
+              f"[{guard.disp_ref / guard.disp_band:.3f}, "
+              f"{guard.disp_ref * guard.disp_band:.3f}]")
 
     trials = TrialsLog(os.path.join(log_path, "trials.csv"))
 
@@ -440,9 +566,27 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                  "ovs_did_change": machine.ovs_did_change,
                  "iters_without_improvement": machine.iters_without_improvement,
                  "guard": {"best": guard.best, "stale": guard.stale,
-                           "rollbacks": guard.rollbacks},
+                           "rollbacks": guard.rollbacks,
+                           "disp_ref": guard.disp_ref,
+                           "train_epe_ref": guard.train_epe_ref},
                  "step": int(tag), "gradient_updates": gradient_updates},
                 guard_snap=guard.snap)
+
+    if guard.train_epe_factor > 0.0 and resume_from is None:
+        # Pin the pre-adaptation train-domain EPE (the forgetting-guard
+        # reference) regardless of skip_initial_eval — the paper VS
+        # protocol skips the initial eval, and by the first mid-run eval a
+        # collapsing model has already blown the metric
+        # (artifacts/paper_scale_r4/ANALYSIS.md).
+        v0 = current_variables(ss)
+        mt0 = evaluate(eval_step, v0["params"], v0["batch_stats"],
+                       train_val_loader, cfg.fast_eval, ac.num_steps)
+        if "EPE" in mt0:
+            ss, _ = guard.check_train_epe(ss, float(mt0["EPE"]),
+                                          guard.train_epe_factor)
+            print(f"[ OVS-GUARD ] pre-adaptation train-domain EPE = "
+                  f"{guard.train_epe_ref:.3f}; forgetting limit "
+                  f"{guard.train_epe_ref * guard.train_epe_factor:.3f}")
 
     if not ac.skip_initial_eval and resume_from is None:
         ma, mt = run_eval()
@@ -543,9 +687,10 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
             if step % ac.ovs_validate_hz == 0 and step > 0:
                 drain(step)
                 if machine.state == State.IN_PROGRESS:
-                    ss, avg, size = validate_step(ss)
+                    ss, avg, size, mean_disp = validate_step(ss)
                     if int(size) > 0 and use_vs:
-                        ss, rolled = guard.check(ss, float(avg))
+                        ss, rolled = guard.check(ss, float(avg),
+                                                 float(mean_disp))
                         if rolled:
                             # A rolled-back validation does not feed the
                             # plateau machine: the regressed loss belongs to
@@ -601,10 +746,13 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
             if mid_eval or end_eval:
                 drain(step)
                 adapt_writer.add_scalar("GRADIENT_UPDATES", gradient_updates, step)
-                if guard.tol > 0.0:
+                if guard.enabled:
                     adapt_writer.add_scalar("OVS_GUARD_ROLLBACKS",
                                             guard.rollbacks, step)
                 ma, mt = run_eval()
+                if guard.train_epe_factor > 0.0 and "EPE" in mt:
+                    ss, _rolled_epe = guard.check_train_epe(
+                        ss, float(mt["EPE"]), guard.train_epe_factor)
                 adapt_writer.log_scalars(ma, {}, 0, epoch, step)
                 train_writer.log_scalars(mt, {}, 0, epoch, step)
                 save_ckpt(step)

@@ -193,11 +193,12 @@ def make_fused_fleet_step(
             output_cost_volume=output_cost_volume, train=True,
             mutable=["batch_stats"])
         if remat:
-            # Rematerialize the forward in the backward pass: trades extra
-            # (cheap, MXU-idle) recompute FLOPs for not round-tripping the
-            # stashed activations through HBM — the bandwidth-bound regime's
-            # classic lever (scaling-book recipe; measured in
-            # artifacts/bench_multistream_r4*.log).
+            # Rematerialize the forward in the backward pass (trade
+            # recompute for stashed-activation HBM traffic). MEASURED AND
+            # REJECTED as a default at the paper shape: ~20% SLOWER across
+            # N=1/8/16 — the recompute pays its own bandwidth here
+            # (artifacts/bench_multistream_r4d.json vs r4c). Kept as an
+            # option for memory-capacity-bound fleet sizes.
             fn = jax.checkpoint(fn)
         return fn(p, batch_stats, left, right)
 

@@ -64,8 +64,14 @@ def fleet_adapt(
     clip_grad_norm: bool = True,
     mesh=None,
     seed: int = 123,
+    warp_precision: str = "highest",
+    bn_mode: str = "per_stream",
 ) -> Dict:
     """Run synchronized fleet adaptation for num_steps frames per stream.
+
+    warp_precision / bn_mode forward to make_fused_fleet_step: the bf16
+    production fleet uses ("default", "shared") — see PERFORMANCE.md round-4
+    multi-stream table; defaults here are the exact-parity semantics.
 
     Returns {'state': final TrainState, 'streams': per-stream summaries}.
     """
@@ -82,6 +88,7 @@ def fleet_adapt(
         smoothness_weight=smoothness_weight, er_loss_weight=er_loss_weight,
         use_er=use_er, use_vs=use_vs, ood_threshold=ood_threshold,
         fcs_ema_weight=fcs_ema_weight, clip_grad_norm=clip_grad_norm,
+        warp_precision=warp_precision, bn_mode=bn_mode,
     )
     validate_fn = make_ovs_validate_step(model, input_scale, smoothness_weight)
 

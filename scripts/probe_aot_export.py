@@ -75,8 +75,20 @@ def main():
     ref_epe = float(ref_out["EPE"])
 
     # --- 1. jax.export round-trip ---------------------------------------
+    # MEASURED OUTCOME (artifacts/aot_probe_r4.log): jax.export HANGS on the
+    # axon backend (>11 min with no progress on a program whose jit compile
+    # takes 3.1 s); gated behind --try_export so the probe completes.
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--try_export", action="store_true")
+    a = ap.parse_args()
     section("jax.export (StableHLO portable artifact)")
-    try:
+    if not a.try_export:
+        print("SKIPPED (hangs on axon; pass --try_export to retry)",
+              flush=True)
+    else:
+      try:
         from jax import export as jexport
 
         exported = jexport.export(jax.jit(eval_step))(
@@ -89,7 +101,7 @@ def main():
         jax.block_until_ready(out2)
         print(f"deserialized call OK in {time.perf_counter() - t0:.1f}s "
               f"(EPE {float(out2['EPE']):.5f} vs {ref_epe:.5f})", flush=True)
-    except Exception:
+      except Exception:
         print("jax.export FAILED:", flush=True)
         traceback.print_exc()
 

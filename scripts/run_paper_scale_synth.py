@@ -90,6 +90,12 @@ def parse_args():
                    help="enable the OVS trust-region guard for phase-3 runs "
                         "(VERDICT r3 item 5: re-run the diverged fused-f32 "
                         "VS config with the guard armed)")
+    p.add_argument("--ovs_guard_disp_band", type=float, default=0.0,
+                   help="second guard channel: mean-|disp| plausibility "
+                        "band (catches photometric-consistent collapse)")
+    p.add_argument("--ovs_guard_train_epe_factor", type=float, default=0.0,
+                   help="third guard channel: train-domain EPE forgetting "
+                        "limit (GT-supervised)")
     return p.parse_args()
 
 
@@ -325,6 +331,8 @@ def phase3_suite(a, train_root, novel_root, variables, threshold):
             # 0-step EPE; other methods share the same pretrained weights).
             cfg.adapt.skip_initial_eval = (method != "nonstop")
             cfg.adapt.ovs_guard_tolerance = a.ovs_guard_tolerance
+            cfg.adapt.ovs_guard_disp_band = a.ovs_guard_disp_band
+            cfg.adapt.ovs_guard_train_epe_factor = a.ovs_guard_train_epe_factor
             t0 = time.perf_counter()
             # device_cache: the whole stream lives in HBM (bit-exact at
             # s=0) — required on the axon backend, whose per-upload host

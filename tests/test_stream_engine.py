@@ -526,6 +526,64 @@ def test_trust_region_guard_semantics():
 
 
 @pytest.mark.slow
+def test_trust_region_guard_disparity_channel():
+    """Second guard channel (round-4 finding: photometric-consistent
+    collapse keeps the OVS LOSS flat — artifacts/paper_scale_r4 — so the
+    loss-threshold guard never fires; the prediction SCALE is the
+    observable): mean |disp| outside [ref/band, ref*band] of the first
+    validation's scale rolls back, churn-stale or not."""
+    from adaptive_stereo_tpu.engine.stream_driver import TrustRegionGuard
+
+    g = TrustRegionGuard(0.0, lambda s: s, lambda s, snap: snap,
+                         disp_band=4.0)
+    assert g.enabled
+    # First validation pins the scale and snapshots.
+    s, rolled = g.check("state0", 0.218, mean_disp=8.0)
+    assert not rolled and g.disp_ref == 8.0 and g.snap == "state0"
+    # Flat loss + in-band disparity: fine.
+    s, rolled = g.check("state1", 0.218, mean_disp=12.0)
+    assert not rolled
+    # Flat loss + exploded disparity (the measured collapse signature).
+    s, rolled = g.check("state2", 0.218, mean_disp=80.0)
+    assert rolled and s == "state0" and g.rollbacks == 1
+    # Collapse-to-zero disparity is equally implausible.
+    s, rolled = g.check("state3", 0.218, mean_disp=0.5)
+    assert rolled and s == "state0" and g.rollbacks == 2
+    # Churn does not disarm the disparity channel.
+    g.mark_churn()
+    s, rolled = g.check("state4", 0.218, mean_disp=80.0)
+    assert rolled and s == "state0" and g.rollbacks == 3
+    # Non-finite mean disparity rolls back too.
+    s, rolled = g.check("state5", 0.218, mean_disp=float("nan"))
+    assert rolled and g.rollbacks == 4
+    # Both channels off -> inert.
+    g2 = TrustRegionGuard(0.0, lambda s: s, lambda s, snap: snap)
+    assert not g2.enabled
+    s, rolled = g2.check("x", 0.218, mean_disp=1e9)
+    assert not rolled
+
+    # pin_initial: reference + snapshot from the PRE-adaptation model, so a
+    # collapse completing before the first validation still rolls back
+    # (measured failure mode: artifacts/paper_scale_r4/ANALYSIS.md), and
+    # the ADVERSARIAL-loss property: collapse LOWERS the photometric loss,
+    # so best-loss snapshots must not track out-of-inner-band models.
+    g3 = TrustRegionGuard(0.3, lambda s: s, lambda s, snap: snap,
+                          disp_band=4.0)
+    g3.pin_initial("pretrained", 10.0)
+    assert g3.disp_ref == 10.0 and g3.snap == "pretrained"
+    # First validation arrives already collapsed (scale 9x, loss LOWER):
+    s, rolled = g3.check("collapsed", 0.1, mean_disp=90.0)
+    assert rolled and s == "pretrained" and g3.rollbacks == 1
+    # A borderline model (outside the inner sqrt-band but inside the outer
+    # band) neither rolls back nor becomes the snapshot, even at a better
+    # loss.
+    s, rolled = g3.check("drifting", 0.05, mean_disp=30.0)
+    assert not rolled and g3.snap == "pretrained"
+    # A healthy in-band improvement does update the snapshot.
+    s, rolled = g3.check("healthy", 0.15, mean_disp=12.0)
+    assert not rolled and g3.snap == "healthy"
+
+
 def test_ovs_guard_rolls_back_on_regression(env, tmp_path):
     """OVS trust-region guard wiring (AdaptConfig.ovs_guard_tolerance —
     framework-new robustness, no reference counterpart): when an OVS
@@ -557,11 +615,11 @@ def test_ovs_guard_rolls_back_on_regression(env, tmp_path):
         adapt_step, done_step, validate_step, mk = orig_make(*a, **k)
 
         def validate_wrapped(ss):
-            ss, avg, size = validate_step(ss)
+            ss, avg, size, mean_disp = validate_step(ss)
             n_validations[0] += 1
             if n_validations[0] >= 3:  # baseline first, then "diverge"
                 avg = avg * 50.0
-            return ss, avg, size
+            return ss, avg, size, mean_disp
 
         return adapt_step, done_step, validate_wrapped, mk
 
