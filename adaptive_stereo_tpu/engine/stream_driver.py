@@ -87,7 +87,7 @@ class TrustRegionGuard:
         found both OVS-loss thresholds (loss stays flat at 0.218) and
         prediction-scale bands (the pre-adaptation model on a severe shift
         is itself scale-degenerate, mean |disp| 59.9) miss the collapse,
-        while train EPE blows 2.3 -> 24.7 by the first eval
+        while train EPE blows 5.4 -> 24.7 by the first eval
         (artifacts/paper_scale_r4/ANALYSIS.md). Returns (ss, rolled)."""
         if factor <= 0.0:
             return ss, False
@@ -183,6 +183,20 @@ class TrustRegionGuard:
                 # validation pins the plausible prediction scale.
                 self.disp_ref = max(float(mean_disp), 1e-3)
             if not disp_ok:
+                return ss, False
+            if self.tol <= 0.0:
+                # Loss channel disabled: check() must not touch the
+                # snapshot (a churned-validation refresh here silently made
+                # the rollback target track the collapse — measured:
+                # guard4 fused run restored to EPE 33.6 instead of the
+                # pretrained 5.4, artifacts/paper_scale_r4/run_guard4.log).
+                # Only the armed channels' own policies (pin_initial,
+                # check_train_epe in-band refresh) manage it; a pure
+                # disp-band guard without pin_initial keeps its FIRST
+                # in-band validation as the snapshot.
+                if self.snap is None:
+                    self.snap = self.snapshot_fn(ss)
+                self.stale = False
                 return ss, False
             if self.stale:
                 # First validation on a churned buffer: re-baseline, but
@@ -751,8 +765,12 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                                             guard.rollbacks, step)
                 ma, mt = run_eval()
                 if guard.train_epe_factor > 0.0 and "EPE" in mt:
-                    ss, _rolled_epe = guard.check_train_epe(
+                    ss, rolled_epe = guard.check_train_epe(
                         ss, float(mt["EPE"]), guard.train_epe_factor)
+                    if rolled_epe:
+                        # Log/record the RESTORED model, not the discarded
+                        # trajectory the rollback just rejected.
+                        ma, mt = run_eval()
                 adapt_writer.log_scalars(ma, {}, 0, epoch, step)
                 train_writer.log_scalars(mt, {}, 0, epoch, step)
                 save_ckpt(step)
