@@ -121,6 +121,7 @@ def make_flat_streaming_steps(
     use_leftright: bool = False,
     consistency_weight: float = 1e-3,
     warp_precision: str = "highest",
+    loss_dtype=None,
 ):
     """Returns (adapt_step, done_step, validate_step, make_done_step_batched)
     over FlatStreamState.
@@ -152,6 +153,23 @@ def make_flat_streaming_steps(
     # Static disparity bound for the warp's banded one-hot matmul
     # (ops/warp.py): model maxdisp expressed at the loss scale.
     warp_max_disp = -(-model.maxdisp // 2 ** input_scale)
+
+    # loss_dtype (e.g. "bfloat16"): compute the single-sided Monodepth loss
+    # pipeline (warp, SSIM pools, smoothness — full-resolution maps) in a
+    # reduced dtype. The round-4 roofline analysis showed the adapt step AT
+    # its HBM roofline with ~8 ms of f32 full-res loss loop fusions
+    # (artifacts/profile_single_r4.log); halving those bytes is a
+    # bytes-floor lever for the bf16 production config. None = f32 (parity).
+    _loss_dt = jnp.dtype(loss_dtype) if loss_dtype is not None else None
+
+    def mono_loss_cfg(l, r, p):
+        if _loss_dt is not None:
+            l, r, p = (l.astype(_loss_dt), r.astype(_loss_dt),
+                       p.astype(_loss_dt))
+        loss, aux = monodepth_single_loss(l, r, p, smoothness_weight,
+                                          max_disp=warp_max_disp,
+                                          warp_precision=warp_precision)
+        return loss.astype(jnp.float32), aux
 
     def dec(img):
         if images_uint8:
@@ -254,10 +272,7 @@ def make_flat_streaming_steps(
                 )
                 stats = mut["batch_stats"]
                 pred_b = outputs[f"pred_disp_l/{s}"]
-                mono, _ = monodepth_single_loss(
-                    left, right, pred_b[0:1], smoothness_weight,
-                    max_disp=warp_max_disp,
-                warp_precision=warp_precision)
+                mono, _ = mono_loss_cfg(left, right, pred_b[0:1])
                 replay = khamis_robust_loss(pred_b[1:2], er_gt)
                 total = mono + er_loss_weight * replay
                 # Stream-frame half of the batched cost volume drives FCS.
@@ -273,10 +288,7 @@ def make_flat_streaming_steps(
                 mutable=["batch_stats"],
             )
             stats = mut["batch_stats"]
-            mono, _ = monodepth_single_loss(
-                left, right, outputs[f"pred_disp_l/{s}"], smoothness_weight,
-                max_disp=warp_max_disp,
-                warp_precision=warp_precision)
+            mono, _ = mono_loss_cfg(left, right, outputs[f"pred_disp_l/{s}"])
             total = mono
             replay = jnp.zeros(())
             if use_er:
@@ -329,9 +341,7 @@ def make_flat_streaming_steps(
              "batch_stats": spec.unravel_bn(ss.bn)},
             left, right, side="l", output_cost_volume=True, train=False)
         pred = outputs[f"pred_disp_l/{s}"]
-        mono, _ = monodepth_single_loss(left, right, pred, smoothness_weight,
-                                        max_disp=warp_max_disp,
-                warp_precision=warp_precision)
+        mono, _ = mono_loss_cfg(left, right, pred)
         fcs_raw = mean_fcs_from_outputs(outputs, "l", coarse)
         epe = _epe(pred, gt)
 
@@ -382,10 +392,7 @@ def make_flat_streaming_steps(
             fcs_all = per_sample_fcs(outputs)    # (N,)
 
             def metrics(l, r, p, g):
-                mono, _ = monodepth_single_loss(
-                    l[None], r[None], p[None], smoothness_weight,
-                    max_disp=warp_max_disp,
-                warp_precision=warp_precision)
+                mono, _ = mono_loss_cfg(l[None], r[None], p[None])
                 return mono, _epe(p[None], g[None])
 
             monos, epes = jax.vmap(metrics)(lefts, rights, preds, gts)
@@ -427,10 +434,7 @@ def make_flat_streaming_steps(
         pred = outputs[f"pred_disp_l/{s}"]
 
         def per_item(l, r, p):
-            loss, _ = monodepth_single_loss(l[None], r[None], p[None],
-                                            smoothness_weight,
-                                            max_disp=warp_max_disp,
-                warp_precision=warp_precision)
+            loss, _ = mono_loss_cfg(l[None], r[None], p[None])
             return loss
 
         losses = jax.vmap(per_item)(res.left, res.right, pred)
