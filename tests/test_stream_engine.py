@@ -650,6 +650,48 @@ def test_ovs_guard_rolls_back_on_regression(env, tmp_path):
 
 
 @pytest.mark.slow
+def test_ovs_guard_train_epe_channel(env, tmp_path, monkeypatch):
+    """ovs_guard_train_epe_factor wiring: when the TRAIN-domain eval EPE
+    exceeds factor x its pre-adaptation value, the driver rolls back to the
+    snapshot and re-evaluates the restored model. The regression is
+    INJECTED (an evaluate wrapper inflates post-baseline train EPEs 10x) —
+    at toy scale a destroyed model's train EPE barely moves; the organic
+    at-scale demonstration is the committed paper-scale guard study
+    (artifacts/paper_scale_r4/ANALYSIS.md: diverged fused-VS restored to
+    the exact pre-adaptation train EPE)."""
+    import adaptive_stereo_tpu.engine.stream_driver as sd
+    from adaptive_stereo_tpu.engine import adapt_streaming
+
+    train_root, novel_root, variables = env
+    orig_evaluate = sd.evaluate
+    calls = []
+
+    def inflating_evaluate(*a, **k):
+        m = orig_evaluate(*a, **k)
+        calls.append(1)
+        if len(calls) > 1 and "EPE" in m:  # call 1 = the startup baseline
+            m = dict(m, EPE=m["EPE"] * 10.0)
+        return m
+
+    monkeypatch.setattr(sd, "evaluate", inflating_evaluate)
+    kw = dict(adapt_mode="VS+ER", num_steps=12, eval_hz=6,
+              ovs_buffer_size=3, ovs_validate_hz=4, val_improve_retries=99,
+              ood_threshold=1e9, skip_initial_eval=True,
+              ovs_guard_train_epe_factor=3.0)
+    cfg = _adapt_cfg(train_root, novel_root, str(tmp_path), "epe_guard", **kw)
+    r = adapt_streaming(cfg, variables=variables, engine="flat")
+    # Two eval boundaries (steps 6, 12), both inflated past 3x -> rollbacks.
+    assert r["guard_rollbacks"] >= 2
+
+    # Control: without the factor the same inflation never rolls back.
+    calls.clear()
+    cfg2 = _adapt_cfg(train_root, novel_root, str(tmp_path), "epe_noguard",
+                      **dict(kw, ovs_guard_train_epe_factor=0.0))
+    r2 = adapt_streaming(cfg2, variables=variables, engine="flat")
+    assert r2["guard_rollbacks"] == 0
+
+
+@pytest.mark.slow
 def test_streaming_checkpoint_resume(env, tmp_path):
     """Streaming-state checkpoint/resume (VERDICT r3 item 6 — framework-new;
     the reference's only resume artifact is trials.csv, adapt.py:247-256):
