@@ -37,6 +37,7 @@ def test_conv_transpose_matches_torch():
 
 
 @pytest.mark.parametrize("stages", [2, 4])
+@pytest.mark.slow
 def test_autoencoder_roundtrip_shapes(stages):
     h, w = 32, 64
     m = Autoencoder(latent_channels=32, stages=stages)
@@ -51,6 +52,7 @@ def test_autoencoder_roundtrip_shapes(stages):
     assert z.shape == (2, h // 2 ** stages, w // 2 ** stages, 32)
 
 
+@pytest.mark.slow
 def test_vae_forward_and_loss():
     h, w = 32, 32
     m = VAE(z_dim=16, input_height=h, input_width=w)

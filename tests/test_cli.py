@@ -43,6 +43,7 @@ def test_flag_surface_matches_reference_names():
     assert ExperimentConfig.from_json(cfg.to_json()).to_json() == cfg.to_json()
 
 
+@pytest.mark.slow
 def test_cli_evaluate_save_and_playback(tmp_path):
     """evaluate subcommand: save + playback over a synthetic dataset with a
     native-format checkpoint."""
@@ -160,6 +161,7 @@ def test_cli_evaluate_eval_mode(tmp_path, capsys):
     assert "EPE=" in out and "D1_all_3px=" in out and "FCS=" in out
 
 
+@pytest.mark.slow
 def test_cli_adapt_streaming_engine(tmp_path):
     """`adapt --engine flat --done_batch 2` drives the zero-sync streaming
     engine (with DONE micro-batching) through the CLI end-to-end."""

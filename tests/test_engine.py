@@ -48,6 +48,7 @@ def test_train_step_decreases_loss(setup):
     assert int(state1.step) == 5
 
 
+@pytest.mark.slow
 def test_adapt_fwd_bwd_and_masked_update(setup):
     model, state, batch = setup
     b = batch()

@@ -44,6 +44,7 @@ def copy_state(state):
     )
 
 
+@pytest.mark.slow
 def test_fused_matches_two_phase_update(setup):
     model, state, batch = setup
 
@@ -73,6 +74,7 @@ def test_fused_matches_two_phase_update(setup):
     assert bool(aux["novel"]) is False
 
 
+@pytest.mark.slow
 def test_fused_gate_skips_update_on_novel_add(setup):
     model, state, batch = setup
     fused = make_fused_adapt_step(model, S, K, use_er=False, use_vs=True,
@@ -90,6 +92,7 @@ def test_fused_gate_skips_update_on_novel_add(setup):
     assert max(jax.tree.leaves(changed)) > 0
 
 
+@pytest.mark.slow
 def test_fused_ema_chains(setup):
     model, state, batch = setup
     fused = make_fused_adapt_step(model, S, K, use_er=False, use_vs=True,

@@ -5,6 +5,7 @@ EdgeAwareRefinement up to float reassociation."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from adaptive_stereo_tpu.models import StereoModel
 from adaptive_stereo_tpu.models.s2d_refinement import (
@@ -45,6 +46,7 @@ def test_scattered_kernel_matches_native_conv():
                                    err_msg=f"dilation {dil}")
 
 
+@pytest.mark.slow
 def test_refinement_s2d_equivalence():
     rng = np.random.RandomState(0)
     coarse = jnp.asarray(rng.rand(1, 8, 12) * 6, jnp.float32)
