@@ -33,24 +33,32 @@ from .stream_adapt import LOG_COLS, init_stream_state, make_streaming_steps
 
 
 class TrustRegionGuard:
-    """OVS trust-region guard (framework-new; no reference counterpart).
+    """Divergence guard, three channels (framework-new; no reference
+    counterpart). Keeps a snapshot of the model/optimizer state and rolls
+    back to it when a channel flags the current trajectory as diverged.
+    Each channel is independently optional; all off = exact reference
+    behavior. The channel design is grounded in the round-4 paper-scale
+    guard study (artifacts/paper_scale_r4/ANALYSIS.md), which measured
+    which signals can and cannot see real divergence:
 
-    Snapshot the model/optimizer state whenever an OVS validation sets a new
-    best loss; roll back to that snapshot when a later validation regresses
-    past ``best * (1 + tol)`` — or comes back NON-FINITE, which is always a
-    regression (naive comparisons are False for NaN; ADVICE r3, medium).
-
-    OVS churn (``mark_churn()``, called by the driver whenever reservoir
-    contents change): losses measured on the new buffer are not directly
-    comparable to ``best`` measured on the old one, so at the next
-    validation the normal tolerance band is suspended — only a CATASTROPHIC
-    regression (``best * CHURN_HARD_FACTOR``, i.e. clear divergence rather
-    than buffer-composition noise) or a non-finite loss rolls back; anything
-    milder re-baselines ``best``/snapshot on the new buffer (ADVICE r3:
-    spurious rollbacks under churn; the test notes tens-of-percent loss
-    fluctuation at small buffer sizes). Replacing one of K reservoir items
-    cannot plausibly move the average loss an order of magnitude, so the
-    hard factor separates divergence from churn at any sane tolerance.
+    1. ``tol`` — OVS-loss trust region: rollback when a validation
+       regresses past ``best * (1 + tol)`` or comes back NON-FINITE
+       (naive comparisons are False for NaN; ADVICE r3, medium). OVS
+       churn (``mark_churn()``): losses on a changed buffer are not
+       comparable to ``best``, so the next validation re-baselines with a
+       one-band ratchet and only a CATASTROPHIC (``CHURN_HARD_FACTOR``)
+       or non-finite loss rolls back (ADVICE r3: spurious rollbacks under
+       churn). MEASURED LIMITATION: photometric-consistent collapse keeps
+       the OVS loss flat (~0.218 while train EPE walks to 107) — this
+       channel cannot see the divergence mode that actually occurs.
+    2. ``disp_band`` — prediction-scale plausibility band over the OVS
+       mean |disparity| (see check()). MEASURED LIMITATION: under severe
+       domain shift the pre-adaptation model is itself scale-degenerate,
+       so the reference scale does not separate healthy from collapsed.
+    3. ``train_epe_factor`` — GT-supervised forgetting containment at
+       eval boundaries (see check_train_epe()). The one channel measured
+       to contain the collapse: diverged fused-VS restored to the exact
+       pre-adaptation train EPE (5.434 vs 106.6 unguarded).
     """
 
     CHURN_HARD_FACTOR = 10.0
