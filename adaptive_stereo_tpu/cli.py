@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "of the first validation's scale (catches "
                              "photometric-consistent collapse, which the "
                              "loss-threshold guard cannot see); 0 disables")
+        sp.add_argument("--loss_dtype", default="",
+                        choices=["", "float32", "bfloat16"],
+                        help="flat engine: dtype of the single-sided "
+                             "Monodepth loss pipeline (''/'float32' = "
+                             "parity; 'bfloat16' halves the full-res "
+                             "loss-map bytes at ~2% loss-value deviation; "
+                             "incompatible with --leftright_consistency)")
         sp.add_argument("--warp_precision", default="highest",
                         choices=["highest", "high", "default"],
                         help="MXU precision of the loss warp contraction: "
@@ -172,6 +179,7 @@ def options_to_config(opt) -> ExperimentConfig:
                           fcs_ema_weight=opt.fcs_ema_weight,
                           ovs_guard_tolerance=getattr(opt, "ovs_guard_tolerance", 0.0),
                           warp_precision=getattr(opt, "warp_precision", "highest"),
+                          loss_dtype=getattr(opt, "loss_dtype", ""),
                           ovs_guard_disp_band=getattr(opt, "ovs_guard_disp_band", 0.0),
                           ovs_guard_train_epe_factor=getattr(
                               opt, "ovs_guard_train_epe_factor", 0.0),
@@ -213,16 +221,33 @@ def main(argv=None) -> int:
 
     if opt.command == "adapt":
         print("\nStarting adaptation ...")
-        if opt.engine == "classic" and (
-                getattr(opt, "ovs_guard_tolerance", 0.0) > 0.0
-                or getattr(opt, "ovs_guard_disp_band", 0.0) > 0.0
-                or getattr(opt, "ovs_guard_train_epe_factor", 0.0) > 0.0):
-            # The trust-region guard lives in the streaming driver; silently
-            # running unguarded would defeat the user's intent (ADVICE r3).
-            raise SystemExit(
-                "--ovs_guard_tolerance requires a streaming engine "
-                "(--engine flat or --engine pytree); the classic "
-                "reference-parity engine does not implement the guard")
+        if opt.engine == "classic":
+            guard_flags = [
+                name for name, val in [
+                    ("--ovs_guard_tolerance",
+                     getattr(opt, "ovs_guard_tolerance", 0.0)),
+                    ("--ovs_guard_disp_band",
+                     getattr(opt, "ovs_guard_disp_band", 0.0)),
+                    ("--ovs_guard_train_epe_factor",
+                     getattr(opt, "ovs_guard_train_epe_factor", 0.0)),
+                ] if val > 0.0]
+            if guard_flags:
+                # The trust-region guard lives in the streaming driver;
+                # silently running unguarded would defeat the user's intent
+                # (ADVICE r3). Name the flag(s) actually given (ADVICE r4).
+                raise SystemExit(
+                    f"{', '.join(guard_flags)} require(s) a streaming "
+                    "engine (--engine flat or --engine pytree); the "
+                    "classic reference-parity engine does not implement "
+                    "the guard")
+            if getattr(opt, "resume_from", ""):
+                # adapt() has no streaming-state resume; dropping the flag
+                # silently would restart from step 0 (ADVICE r4, low).
+                raise SystemExit(
+                    "--resume_from requires --engine flat; the classic "
+                    "engine does not support streaming-state resume")
+            if getattr(opt, "loss_dtype", ""):
+                raise SystemExit("--loss_dtype requires --engine flat")
         if opt.engine == "classic":
             from .engine.adapt import adapt
 

@@ -97,6 +97,12 @@ class AdaptConfig:
     # error, ~30% faster backward; "default" = 4e-3 max error, ~2.4x faster
     # backward at fleet batch sizes (artifacts/exp_warp_precision_r4.log).
     warp_precision: str = "highest"
+    # Dtype of the single-sided Monodepth loss pipeline in the FLAT streaming
+    # engine ('' = float32 parity; 'bfloat16' halves the full-res loss-map
+    # bytes at ~2% loss-value deviation — measured 1.018x step speedup,
+    # artifacts/exp_loss_dtype_r4.log). Flat engine only; incompatible with
+    # leftright_consistency (the L-R loss path has no reduced-dtype variant).
+    loss_dtype: str = ""
     # Second guard channel: roll back when the OVS mean |predicted disparity|
     # leaves [ref/band, ref*band] of the first validation's scale — catches
     # photometric-consistent collapse, which keeps the OVS LOSS flat and is

@@ -160,6 +160,14 @@ def make_flat_streaming_steps(
     # its HBM roofline with ~8 ms of f32 full-res loss loop fusions
     # (artifacts/profile_single_r4.log); halving those bytes is a
     # bytes-floor lever for the bf16 production config. None = f32 (parity).
+    # Exposed via AdaptConfig.loss_dtype / --loss_dtype (ADVICE r4).
+    if loss_dtype is not None and use_leftright:
+        # The L-R consistency loss goes through monodepth_leftright_loss,
+        # which has no reduced-dtype variant — silently ignoring the option
+        # there would misreport the numerics of the run (ADVICE r4, low).
+        raise ValueError("loss_dtype is only implemented for the "
+                         "single-sided Monodepth path; it cannot be "
+                         "combined with use_leftright")
     _loss_dt = jnp.dtype(loss_dtype) if loss_dtype is not None else None
 
     def mono_loss_cfg(l, r, p):

@@ -71,7 +71,14 @@ class TrustRegionGuard:
         self.snapshot_fn = snapshot_fn
         self.restore_fn = restore_fn
         self.best = float("inf")
+        # Per-channel snapshots (ADVICE r4, medium): `snap` belongs to the
+        # loss/disp channels and is always PAIRED with `best` (it is only
+        # replaced together with a `best` update, or by the armed channels'
+        # own pin policies before any validation ran). The train-EPE
+        # channel's in-band refresh writes `epe_snap` instead, so it can
+        # never silently break that pairing.
         self.snap = None
+        self.epe_snap = None
         self.stale = False
         self.rollbacks = 0
         self.disp_ref = None
@@ -102,23 +109,37 @@ class TrustRegionGuard:
         if self.train_epe_ref is None:
             if np.isfinite(train_epe):
                 self.train_epe_ref = float(train_epe)
+                self.epe_snap = self.snapshot_fn(ss)
                 if self.snap is None:
-                    self.snap = self.snapshot_fn(ss)
+                    # Also seed the loss/disp channels' snapshot so a
+                    # non-finite validation before their own first pin has
+                    # a rollback target; `best` is still inf, so the
+                    # pairing invariant (snap achieved <= best) holds.
+                    self.snap = self.epe_snap
             return ss, False
         if not np.isfinite(train_epe) or \
                 train_epe > self.train_epe_ref * factor:
-            if self.snap is None:
+            target = self.epe_snap if self.epe_snap is not None else self.snap
+            if target is None:
                 return ss, False
             self.rollbacks += 1
             print(f"[ OVS-GUARD ] train-domain EPE {train_epe:.3f} exceeds "
                   f"{factor:.1f}x its pre-adaptation value "
                   f"{self.train_epe_ref:.3f} (catastrophic forgetting / "
-                  f"collapse); rolling back to the best snapshot "
-                  f"(rollback #{self.rollbacks})")
-            return self.restore_fn(ss, self.snap), True
-        # In-band eval: this model is certified non-forgetting — refresh the
-        # snapshot so rollbacks restore the latest healthy state.
-        self.snap = self.snapshot_fn(ss)
+                  f"collapse); rolling back to the last certified "
+                  f"non-forgetting snapshot (rollback #{self.rollbacks})")
+            # The restored trajectory invalidates the loss channel's
+            # baseline (its `best` was measured on the discarded one);
+            # re-baseline at the next validation via the churn ratchet
+            # (ADVICE r4: re-baseline `best` whenever another channel's
+            # rollback changes the model under it).
+            self.stale = True
+            return self.restore_fn(ss, target), True
+        # In-band eval: this model is certified non-forgetting — refresh
+        # THIS channel's snapshot so its rollbacks restore the latest
+        # healthy state. The loss channel's `snap`/`best` pairing is
+        # untouched (ADVICE r4, medium).
+        self.epe_snap = self.snapshot_fn(ss)
         return ss, False
 
     def pin_initial(self, ss, mean_disp: float):
@@ -157,10 +178,17 @@ class TrustRegionGuard:
                             mean_disp < self.disp_ref / self.disp_band)
         if self.snap is not None and (disp_bad or nonfinite):
             self.rollbacks += 1
-            why = ("is non-finite" if nonfinite else
-                   f"mean |disp| {mean_disp:.3f} left the plausibility band "
-                   f"[{self.disp_ref / self.disp_band:.3f}, "
-                   f"{self.disp_ref * self.disp_band:.3f}]")
+            if nonfinite:
+                why = "is non-finite"
+            elif not np.isfinite(mean_disp) or self.disp_ref is None:
+                # disp_ref can legitimately still be None here (pin_initial
+                # not called, snapshot pinned by another channel, first
+                # validation's scale already non-finite — ADVICE r4, low).
+                why = f"has non-finite mean |disp| ({mean_disp})"
+            else:
+                why = (f"mean |disp| {mean_disp:.3f} left the plausibility "
+                       f"band [{self.disp_ref / self.disp_band:.3f}, "
+                       f"{self.disp_ref * self.disp_band:.3f}]")
             print(f"[ OVS-GUARD ] validation {avg_loss:.5f} {why}; rolling "
                   f"back to the best snapshot (rollback #{self.rollbacks})")
             return self.restore_fn(ss, self.snap), True
@@ -257,7 +285,7 @@ class _PlateauMachine:
 
 
 def save_stream_checkpoint(folder: str, ss, host_state: dict,
-                           guard_snap=None) -> None:
+                           guard_snap=None, guard_epe_snap=None) -> None:
     """Serialize the FULL streaming-adaptation state (VERDICT r3 item 6 —
     framework-new; the reference's only resume artifact is trials.csv,
     adapt.py:247-256): the flat device state (params, Adam moments/count,
@@ -272,6 +300,8 @@ def save_stream_checkpoint(folder: str, ss, host_state: dict,
     payload = {"ss": jax.device_get(serialization.to_state_dict(ss))}
     if guard_snap is not None:
         payload["guard_snap"] = jax.device_get(guard_snap)
+    if guard_epe_snap is not None:
+        payload["guard_epe_snap"] = jax.device_get(guard_epe_snap)
     with open(os.path.join(folder, "stream_state.msgpack"), "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
     with open(os.path.join(folder, "host_state.json"), "w") as f:
@@ -279,9 +309,9 @@ def save_stream_checkpoint(folder: str, ss, host_state: dict,
 
 
 def load_stream_checkpoint(folder: str, ss_template):
-    """Restore (ss, host_state, guard_snap) written by save_stream_checkpoint.
-    `ss_template` provides the pytree structure/shapes (built by the same
-    config that produced the checkpoint)."""
+    """Restore (ss, host_state, guard_snap, guard_epe_snap) written by
+    save_stream_checkpoint. `ss_template` provides the pytree structure/
+    shapes (built by the same config that produced the checkpoint)."""
     import json as _json
 
     from flax import serialization
@@ -290,12 +320,16 @@ def load_stream_checkpoint(folder: str, ss_template):
         payload = serialization.msgpack_restore(f.read())
     ss = serialization.from_state_dict(ss_template, payload["ss"])
     ss = jax.tree.map(jnp.asarray, ss)
-    guard_snap = payload.get("guard_snap")
-    if guard_snap is not None:
-        guard_snap = {k: jnp.asarray(v) for k, v in guard_snap.items()}
+
+    def _snap(key):
+        snap = payload.get(key)
+        if snap is not None:
+            snap = {k: jnp.asarray(v) for k, v in snap.items()}
+        return snap
+
     with open(os.path.join(folder, "host_state.json")) as f:
         host_state = _json.load(f)
-    return ss, host_state, guard_snap
+    return ss, host_state, _snap("guard_snap"), _snap("guard_epe_snap")
 
 
 def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
@@ -430,6 +464,10 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
         use_leftright=ac.leftright_consistency,
         consistency_weight=ac.consistency_weight,
         warp_precision=ac.warp_precision)
+    if getattr(ac, "loss_dtype", ""):
+        if engine != "flat":
+            raise ValueError("loss_dtype requires engine='flat'")
+        step_kwargs["loss_dtype"] = ac.loss_dtype
     eval_step = make_eval_step(model, s, k)
 
     if engine == "flat":
@@ -518,7 +556,8 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
     if resume_from is not None:
         if engine != "flat":
             raise ValueError("resume_from requires engine='flat'")
-        ss, host, guard.snap = load_stream_checkpoint(resume_from, ss)
+        ss, host, guard.snap, guard.epe_snap = \
+            load_stream_checkpoint(resume_from, ss)
         machine.state = State[host["machine_state"]]
         machine.prev_loss = float(host["prev_loss"])
         machine.ovs_did_change = bool(host["ovs_did_change"])
@@ -592,7 +631,7 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                            "disp_ref": guard.disp_ref,
                            "train_epe_ref": guard.train_epe_ref},
                  "step": int(tag), "gradient_updates": gradient_updates},
-                guard_snap=guard.snap)
+                guard_snap=guard.snap, guard_epe_snap=guard.epe_snap)
 
     if guard.train_epe_factor > 0.0 and resume_from is None:
         # Pin the pre-adaptation train-domain EPE (the forgetting-guard

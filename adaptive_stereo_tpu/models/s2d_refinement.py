@@ -173,12 +173,101 @@ class _BasicBlockS2D(nn.Module):
         return xs + nn.leaky_relu(out, negative_slope=0.2)
 
 
+# --------------------------------------------------------------------------
+# Twin parameter declarations for the fused Pallas tower (same names/shapes/
+# initializers as the module path above, so checkpoints / the torch importer
+# / every engine work unchanged — pattern of models/pallas_aggregation.py).
+# --------------------------------------------------------------------------
+
+_TOWER_DILATIONS = (1, 1, 2, 4, 8, 1, 1, 1)   # original dilations, layers 0..7
+
+
+class _ConvVars(nn.Module):
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _BNVars(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean, var
+
+
+class _ConvBNVars(nn.Module):
+    features: int = 32
+    in_features: int = 32
+
+    @nn.compact
+    def __call__(self):
+        k, b = _ConvVars(self.features, self.in_features, name="conv")()
+        return (k, b) + _BNVars(self.features, name="bn")()
+
+
+class _BlockVars(nn.Module):
+    @nn.compact
+    def __call__(self):
+        return _ConvBNVars(name="conv1")()
+
+
+def _tower_ref_raw(xs, kernels, biases, gammas, betas, rmeans, rvars, train,
+                   eps=1e-5):
+    """jnp golden twin of the fused tower on RAW parameters: same graph as
+    the module path, with the BN epilogue in f32 (the kernel's numerics —
+    the bf16 module path differs at one-ULP scale; tests band both).
+    Returns (residual_s2d (B,H2,W2,4), mu (7,32), var (7,32))."""
+    h = None
+    mus, vars_ = [], []
+    x = xs
+    for p in range(8):
+        k2, dil2 = scatter_kernel_s2d(kernels[p].astype(xs.dtype),
+                                      _TOWER_DILATIONS[p])
+        y = jax.lax.conv_general_dilated(
+            x, k2, (1, 1), [(dil2, dil2)] * 2, rhs_dilation=(dil2, dil2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.tile(biases[p].astype(xs.dtype), 4)
+        if p == 7:
+            return y, jnp.stack(mus), jnp.stack(vars_)
+        yf = y.astype(jnp.float32).reshape(*y.shape[:-1], 4, 32)
+        if train:
+            ax = tuple(range(yf.ndim - 1))
+            mu = jnp.mean(yf, axis=ax)
+            var = jnp.mean(yf * yf, axis=ax) - mu * mu
+        else:
+            mu, var = rmeans[p], rvars[p]
+        mus.append(mu)
+        vars_.append(var)
+        yn = (yf - mu) * jax.lax.rsqrt(var + eps) * gammas[p] + betas[p]
+        act = nn.leaky_relu(yn.reshape(y.shape), 0.2).astype(xs.dtype)
+        x = act if p == 0 else x + act
+
+
 class EdgeAwareRefinementS2D(nn.Module):
     """Drop-in EdgeAwareRefinement (reference stereo_net.py:88-121) computing
     on the 2x2 space-to-depth layout. Identical parameter tree; outputs equal
-    to the native-layout module up to float reassociation."""
+    to the native-layout module up to float reassociation.
+
+    pallas_tower=True runs all 8 layers through the fused Pallas kernels
+    (ops/pallas/tower.py — one HBM round-trip per activation, fwd AND bwd as
+    custom VJP) with the same parameter tree; unsupported shapes and module
+    init fall back to the raw-parameter jnp twin."""
 
     dtype: Optional[Dtype] = None
+    pallas_tower: bool = False
 
     @nn.compact
     def __call__(self, coarse_disparity, guidance_rgb, train: bool = True):
@@ -196,6 +285,11 @@ class EdgeAwareRefinementS2D(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         xs = space_to_depth(x)  # (B, H/2, W/2, 16)
+
+        if self.pallas_tower:
+            residual = self._apply_pallas_tower(xs, train)
+            return nn.relu(up + residual.astype(up.dtype))
+
         xs = _ConvBNS2D(32, 1, self.dtype, name="conv2d_feature")(xs, train)
         xs = nn.leaky_relu(xs, negative_slope=0.2)
         for i, di in enumerate([1, 2, 4, 8, 1, 1]):
@@ -203,3 +297,61 @@ class EdgeAwareRefinementS2D(nn.Module):
         res_s2d = _ConvS2D(1, 1, self.dtype, name="conv2d_out")(xs)
         residual = depth_to_space(res_s2d)
         return nn.relu(up + residual.astype(up.dtype))
+
+    def _apply_pallas_tower(self, xs, train: bool):
+        """Declare the twin parameter tree, build the phase-scattered weight
+        stacks, and run the fused kernel chain (or the raw jnp twin at
+        unsupported shapes / during init). Returns the (B,H,W,1) residual."""
+        import jax as _jax
+
+        from ..ops.pallas.tower import tower_pallas, tower_pallas_supported
+
+        feat = _ConvBNVars(32, 4, name="conv2d_feature")()
+        blocks = [_BlockVars(name=f"astrous_{i}")() for i in range(6)]
+        k_out, b_out = _ConvVars(1, 32, name="conv2d_out")()
+
+        layers = [feat] + blocks                      # 7 x (k, b, g, be, m, v)
+        kernels = [l[0] for l in layers] + [k_out]
+        biases = [l[1] for l in layers] + [b_out]
+        gammas = jnp.stack([l[2] for l in layers])     # (7, 32)
+        betas = jnp.stack([l[3] for l in layers])
+        rmeans = jnp.stack([l[4].value for l in layers])
+        rvars = jnp.stack([l[5].value for l in layers])
+
+        B, H2, W2, _ = xs.shape
+        use_kernel = tower_pallas_supported(H2, W2) \
+            and not self.is_initializing()
+
+        if not use_kernel:
+            res_s2d, mu, var = _tower_ref_raw(
+                xs, kernels, biases, gammas, betas, rmeans, rvars, train)
+        else:
+            cdt = xs.dtype
+            ws, bs = [], []
+            for p in range(8):
+                k2, _ = scatter_kernel_s2d(kernels[p].astype(cdt),
+                                           _TOWER_DILATIONS[p])
+                cin, cout = k2.shape[2], k2.shape[3]
+                k2 = jnp.pad(k2, [(0, 0), (0, 0), (0, 128 - cin),
+                                  (0, 128 - cout)])
+                ws.append(k2)
+                bs.append(jnp.pad(jnp.tile(biases[p].astype(jnp.float32), 4),
+                                  (0, 128 - 4 * biases[p].shape[0])))
+            wstack = jnp.stack(ws)
+            bias_t = jnp.stack(bs)
+            tile = lambda a: jnp.tile(a.astype(jnp.float32), (1, 4))
+            x0p = jnp.pad(xs, [(0, 0), (4, 4), (4, 4), (0, 112)])
+            x0p = x0p.reshape(B, (H2 + 8) * (W2 + 8), 128)
+            interpret = _jax.default_backend() != "tpu"
+            y7, mu_t, var_t = tower_pallas(
+                x0p, wstack, bias_t, tile(gammas), tile(betas),
+                tile(rmeans), tile(rvars), train, interpret, H2, W2)
+            res_s2d = y7.reshape(B, H2 + 8, W2 + 8, 128)[
+                :, 4:4 + H2, 4:4 + W2, :4]
+            mu, var = mu_t[:, :32], var_t[:, :32]
+
+        if train and not self.is_initializing():
+            for i, l in enumerate(layers):
+                l[4].value = 0.9 * l[4].value + 0.1 * mu[i]
+                l[5].value = 0.9 * l[5].value + 0.1 * var[i]
+        return depth_to_space(res_s2d)

@@ -225,6 +225,10 @@ class StereoNet(nn.Module):
     # itself is not requested as an output (otherwise falls through to the
     # composed path, which can materialize it).
     fused_coarse_head: bool = False
+    # Fused Pallas refinement tower (ops/pallas/tower.py): all 8 s2d tower
+    # layers as chained per-layer kernels with fwd+bwd custom VJP; requires
+    # s2d_refinement=True. Same parameter tree.
+    pallas_tower: bool = False
 
     @nn.compact
     def __call__(
@@ -300,8 +304,12 @@ class StereoNet(nn.Module):
         if self.s2d_refinement:
             from .s2d_refinement import EdgeAwareRefinementS2D
 
-            refinement = EdgeAwareRefinementS2D(self.dtype, name="refinement_0")
+            refinement = EdgeAwareRefinementS2D(
+                self.dtype, pallas_tower=self.pallas_tower,
+                name="refinement_0")
         else:
+            if self.pallas_tower:
+                raise ValueError("pallas_tower requires s2d_refinement=True")
             refinement = EdgeAwareRefinement(self.dtype, name="refinement_0")
         outputs[f"pred_disp_{side}/{self.input_scale}"] = refinement(
             pred, left_img, train)
@@ -330,6 +338,7 @@ class StereoModel(nn.Module):
     s2d_refinement: bool = False
     pallas_aggregation: bool = False
     fused_coarse_head: bool = False
+    pallas_tower: bool = False
 
     def setup(self):
         self.feature_net = FeatureExtractorNetwork(self.k, self.dtype)
@@ -337,7 +346,8 @@ class StereoModel(nn.Module):
                                     self.dtype, self.use_pallas,
                                     self.s2d_refinement,
                                     self.pallas_aggregation,
-                                    self.fused_coarse_head)
+                                    self.fused_coarse_head,
+                                    self.pallas_tower)
 
     def __call__(self, left_img, right_img, side: str = "l",
                  output_cost_volume: bool = False, train: bool = True):

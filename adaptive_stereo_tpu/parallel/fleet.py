@@ -173,6 +173,13 @@ def make_fused_fleet_step(
         add_b = lambda t: jax.tree.map(lambda x: x[None], t)
         return loss_one(params, batch_stats, add_b(batch), add_b(er_batch))
 
+    if remat:
+        # Rematerialize the per-stream loss too, so remat=True means the
+        # same thing in BOTH bn_modes (ADVICE r4: it used to silently do
+        # nothing on the default per_stream path, which only ever went
+        # through vloss below — _apply_train serves merged_loss alone).
+        per_stream_loss = jax.checkpoint(per_stream_loss)
+
     # vmap the per-stream LOSS (not the per-stream grad): per-stream BN batch
     # statistics are exactly the reference's batch-1 semantics, but the
     # backward differentiates the gate-weighted SUM of per-stream losses in

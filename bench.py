@@ -100,15 +100,21 @@ def main():
 
     run_block(5)  # warmup / compile
     # The shared device's throughput varies minute-to-minute (PERFORMANCE.md);
-    # take the best of 3 drain-cadence blocks as the achievable rate.
+    # the headline stays the best of the FIRST 3 drain-cadence blocks (the
+    # achievable rate, comparable round-over-round), and a p50 over >=10
+    # blocks rides along so comparisons aren't hostage to device variance
+    # (VERDICT r4 item 9).
     drain_every = 20
+    n_blocks = 10
     block_times = []
-    for _ in range(3):
+    for _ in range(n_blocks):
         t0 = time.perf_counter()
         run_block(drain_every)
         block_times.append((time.perf_counter() - t0) / drain_every)
-    t_adapt = min(block_times)
+    t_adapt = min(block_times[:3])
     adapt_fps = 1.0 / t_adapt
+    t_p50 = float(np.median(block_times))
+    p50_fps = 1.0 / t_p50
 
     # Emit the headline JSON IMMEDIATELY — remote compiles for the optional
     # diagnostics below can take minutes and must not cost us the result.
@@ -117,10 +123,12 @@ def main():
         "value": round(adapt_fps, 2),
         "unit": "steps/s",
         "vs_baseline": round(adapt_fps / 30.0, 3),
+        "p50_over_10_blocks": round(p50_fps, 2),
     }), flush=True)
     print(
         f"[bench] adapt_step {1e3*t_adapt:.2f} ms ({adapt_fps:.1f} steps/s) | "
-        f"config 320x960 k={k} s={s} b=1 dtype={dtype_name}",
+        f"p50 over {n_blocks} blocks {1e3*t_p50:.2f} ms ({p50_fps:.1f} "
+        f"steps/s) | config 320x960 k={k} s={s} b=1 dtype={dtype_name}",
         file=sys.stderr, flush=True,
     )
 
@@ -136,6 +144,52 @@ def main():
               file=sys.stderr, flush=True)
     except Exception as e:  # diagnostics must never fail the benchmark
         print(f"[bench] forward diagnostic skipped: {e}", file=sys.stderr)
+
+    # --- serving headline (VERDICT r4 item 8): DONE-state micro-batched
+    # eval fps — the production fleet-serving configuration once the plateau
+    # machine parks a stream in DONE. Full DONE semantics per frame (eval
+    # forward + Monodepth + FCS/EMA chain + reservoir gate + ring log) at
+    # the reference timing harness's two canonical shapes
+    # (evaluation/stereonet_timing.py:22-75 uses 320x1216; the paper
+    # adaptation shape is 320x960). Written to artifacts/bench_serving.json
+    # and stderr; the headline JSON line above stays the adapt step. ---
+    try:
+        serving = {}
+        nb = 8  # done_batch: frames per dispatch (artifacts/exp_done_batch.log)
+        for hh, ww in [(320, 960), (320, 1216)]:
+            ss_s, spec_s = init_flat_stream_state(
+                state.params, state.batch_stats, 5e-5, 4, hh, ww, 256, seed=0)
+            steps_s = make_flat_streaming_steps(
+                model, spec_s, s, k, use_er=False, use_vs=True,
+                ood_threshold=12.76, warp_precision="default")
+            done_b = steps_s[3](nb)
+            lefts = jnp.asarray(rng.rand(nb, hh, ww, 3), jnp.float32)
+            rights = jnp.asarray(rng.rand(nb, hh, ww, 3), jnp.float32)
+            gts = jnp.zeros((nb, hh, ww, 1), jnp.float32)
+            idxs = jnp.arange(nb, dtype=jnp.int32)
+
+            def serve_block(ss_s, n_calls):
+                for _ in range(n_calls):
+                    ss_s = done_b(ss_s, lefts, rights, gts, idxs)
+                np.asarray(ss_s.log[0])  # completion barrier (readback)
+                return ss_s
+
+            ss_s = serve_block(ss_s, 2)  # warmup / compile
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                ss_s = serve_block(ss_s, 4)
+                best = min(best, (time.perf_counter() - t0) / (4 * nb))
+            serving[f"{hh}x{ww}"] = round(1.0 / best, 1)
+            print(f"[bench] serving DONE-state micro-batched (n={nb}) "
+                  f"{hh}x{ww}: {1.0/best:.1f} frames/s "
+                  f"({1e3*best:.2f} ms/frame)", file=sys.stderr, flush=True)
+        with open("artifacts/bench_serving.json", "w") as f:
+            json.dump({"done_batch": nb, "unit": "frames/s",
+                       "config": f"k={k} s={s} bf16 fused+s2d",
+                       "fps": serving}, f, indent=2)
+    except Exception as e:
+        print(f"[bench] serving diagnostic skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -525,6 +525,58 @@ def test_trust_region_guard_semantics():
     assert not rolled and g3.rollbacks == 0
 
 
+def test_trust_region_guard_per_channel_snapshots():
+    """ADVICE r4 (medium): with BOTH the loss channel (tol) and the
+    train-EPE channel armed, the EPE channel's in-band refresh must not
+    clobber the loss channel's snapshot — `snap` stays PAIRED with `best`
+    (a loss rollback restores the model that actually achieved best), the
+    EPE channel rolls back to its OWN certified snapshot, and an EPE
+    rollback re-baselines the loss channel (stale) instead of leaving a
+    `best` the restored trajectory never achieved."""
+    from adaptive_stereo_tpu.engine.stream_driver import TrustRegionGuard
+
+    g = TrustRegionGuard(0.1, lambda s: s, lambda s, snap: snap,
+                         train_epe_factor=2.0)
+    # EPE channel pins its reference and its own snapshot; with no loss
+    # snapshot yet it also seeds `snap` (best is still inf, pairing holds).
+    s, rolled = g.check_train_epe("pre", 5.0, 2.0)
+    assert not rolled and g.train_epe_ref == 5.0 and g.epe_snap == "pre"
+    # Loss channel's first validation pairs best=1.0 with snapshot m1.
+    s, rolled = g.check("m1", 1.0)
+    assert not rolled and g.best == 1.0 and g.snap == "m1"
+    # EPE in-band eval refreshes ONLY epe_snap (this used to overwrite
+    # `snap`, breaking the best/snapshot pairing).
+    s, rolled = g.check_train_epe("m2", 6.0, 2.0)
+    assert not rolled and g.epe_snap == "m2" and g.snap == "m1"
+    # Loss rollback restores the model that achieved best (m1), not the
+    # later EPE-certified m2.
+    s, rolled = g.check("m3", 1.5)
+    assert rolled and s == "m1" and g.rollbacks == 1
+    # EPE rollback restores the EPE channel's own snapshot and marks the
+    # loss channel stale so `best` re-baselines on the restored trajectory.
+    s, rolled = g.check_train_epe("m4", 20.0, 2.0)
+    assert rolled and s == "m2" and g.stale
+    # Next validation re-baselines under the one-band churn ratchet instead
+    # of rolling back against the discarded trajectory's best.
+    s, rolled = g.check("m5", 1.08)
+    assert not rolled and g.best == pytest.approx(1.08) and g.snap == "m5"
+
+
+def test_trust_region_guard_disp_channel_without_pin():
+    """ADVICE r4 (low): disp_band armed, pin_initial never called, snapshot
+    pinned by ANOTHER channel, and the FIRST validation's mean_disp is
+    non-finite — check() must roll back (not raise formatting the None
+    disp_ref)."""
+    from adaptive_stereo_tpu.engine.stream_driver import TrustRegionGuard
+
+    g = TrustRegionGuard(0.0, lambda s: s, lambda s, snap: snap,
+                         disp_band=4.0, train_epe_factor=2.0)
+    g.check_train_epe("pre", 5.0, 2.0)  # pins a snapshot; disp_ref stays None
+    assert g.snap == "pre" and g.disp_ref is None
+    s, rolled = g.check("m1", 0.2, mean_disp=float("nan"))
+    assert rolled and s == "pre" and g.rollbacks == 1
+
+
 @pytest.mark.slow
 def test_trust_region_guard_disparity_channel():
     """Second guard channel (round-4 finding: photometric-consistent
