@@ -340,7 +340,8 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                     fused_er_forward: bool = False,
                     done_batch: int = 1,
                     device_cache: bool = False,
-                    resume_from: Optional[str] = None) -> Dict:
+                    resume_from: Optional[str] = None,
+                    probe_hook=None) -> Dict:
     """engine='flat' (default): minimal-dispatch-payload flat-state engine
     (engine/flat_stream.py) — fastest on remote-dispatch TPUs.
     engine='pytree': the structured stream engine (engine/stream_adapt.py).
@@ -801,6 +802,13 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
 
             if step % cfg.log_frequency == 0:
                 drain(step)
+                if probe_hook is not None:
+                    # Observability side channel (e.g. the GT-free divergence
+                    # study, scripts/run_gtfree_guard_study.py): read-only
+                    # access to the live model at drain boundaries. Must not
+                    # mutate ss; pure readbacks do not perturb the
+                    # deterministic trajectory.
+                    probe_hook(step, lambda: current_variables(ss))
 
             mid_eval = ac.eval_hz > 0 and step % ac.eval_hz == 0
             end_eval = ac.eval_hz <= 0 and batch_idx == steps_per_epoch - 1

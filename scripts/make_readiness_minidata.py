@@ -13,6 +13,11 @@ formats:
                  reference dataset_utils.py:27-28)
   VirtualKitti:  JPG RGB pairs + 16-bit depth PNGs in centimeters
                  (disp = baseline*focal/z; reference dataset_utils.py:38-47)
+  KittiRaw:      JPG RGB pairs + npy disparities scaled x128 (reference
+                 dataset_utils.py:34-35); the vendored manifests carry the
+                 original author's ABSOLUTE /home/milo/datasets/... paths,
+                 which are rebased exactly as the dataset layer does
+                 (data/stereo_dataset.py:_resolve)
 
 The day real data appears, the same run_paper_suite.py command points at the
 real mounts instead — nothing else changes.
@@ -61,16 +66,27 @@ def _write_rgb(path: str, img: np.ndarray):
     imageio.imwrite(path, (np.clip(img, 0, 1) * 255).round().astype(np.uint8))
 
 
+def _rebase(root: str, p: str) -> str:
+    """Mirror data/stereo_dataset.py:_resolve for absolute manifest paths."""
+    if os.path.isabs(p):
+        marker = "/datasets/"
+        if marker in p:
+            rel = p.split(marker, 1)[1]
+            rel = rel.split("/", 1)[1] if "/" in rel else rel
+            return os.path.join(root, rel)
+    return os.path.join(root, p)
+
+
 def materialize_split(root: str, split: str, subsplits, n: int,
                       disp_format: str, seed: int):
     rng = np.random.RandomState(seed)
     frames = _frames(split, subsplits, n)
     for rgb_l, rgb_r, d_l, d_r in frames:
         left, right, dl, dr = make_stereo_pair(rng, H, W, max_disp=16.0)
-        _write_rgb(os.path.join(root, rgb_l), left)
-        _write_rgb(os.path.join(root, rgb_r), right)
+        _write_rgb(_rebase(root, rgb_l), left)
+        _write_rgb(_rebase(root, rgb_r), right)
         for rel, disp in ((d_l, dl), (d_r, dr)):
-            out = os.path.join(root, rel)
+            out = _rebase(root, rel)
             os.makedirs(os.path.dirname(out), exist_ok=True)
             if disp_format == "pfm":
                 write_pfm(out, disp.astype(np.float32))
@@ -80,6 +96,9 @@ def materialize_split(root: str, split: str, subsplits, n: int,
                 depth_cm = np.clip(100.0 * VK_BF / np.maximum(disp, 1e-3),
                                    1, 65000).astype(np.uint16)
                 cv2.imwrite(out, depth_cm)
+            elif disp_format == "kitti_npy":
+                # KITTI-raw contract: npy scaled x128 (dataset_utils.py:34-35).
+                np.save(out, (disp * 128.0).astype(np.float32))
             else:
                 raise ValueError(disp_format)
     print(f"  {split}: {len(frames)} frames under {root}")
@@ -111,6 +130,7 @@ def main():
 
     sf_root = os.path.join(args.out, "sceneflow")
     vk_root = os.path.join(args.out, "vkitti")
+    kr_root = os.path.join(args.out, "kitti_raw")
     print("Materializing mini datasets at vendored-manifest paths:")
     materialize_split(sf_root, "sceneflow_flying_er_1000", ["val"], n,
                       "pfm", seed=1)
@@ -120,6 +140,18 @@ def main():
                       "vkitti_depth", seed=3)
     materialize_split(vk_root, "virtual_kitti_clone_er_1000", ["val"], n,
                       "vkitti_depth", seed=4)
+    # Full paper breadth (VERDICT r4 item 6): the remaining 8 environments'
+    # adaptation splits — VKITTI-20/rain + the three KITTI-raw drives.
+    materialize_split(vk_root, "virtual_kitti_20_adapt", ["train", "val"], n,
+                      "vkitti_depth", seed=7)
+    materialize_split(vk_root, "virtual_kitti_rain", ["train", "val"], n,
+                      "vkitti_depth", seed=8)
+    materialize_split(kr_root, "kitti_raw_campus_adapt", ["train", "val"], n,
+                      "kitti_npy", seed=9)
+    materialize_split(kr_root, "kitti_raw_city_adapt", ["train", "val"], n,
+                      "kitti_npy", seed=10)
+    materialize_split(kr_root, "kitti_raw_road_adapt", ["train", "val"], n,
+                      "kitti_npy", seed=11)
     make_weights(os.path.join(args.out, "weights", "sf"), seed=5)
     make_weights(os.path.join(args.out, "weights", "vk"), seed=6)
     print("Done.")

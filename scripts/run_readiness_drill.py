@@ -61,9 +61,15 @@ def main():
         rc = run([py, os.path.join(REPO, "scripts/run_paper_suite.py"),
                   "--sceneflow", os.path.join(args.data, "sceneflow"),
                   "--vkitti", os.path.join(args.data, "vkitti"),
+                  "--kitti_raw", os.path.join(args.data, "kitti_raw"),
                   "--sf_weights", os.path.join(args.data, "weights", "sf"),
                   "--vk_weights", os.path.join(args.data, "weights", "vk"),
-                  "--environments", "flying_to_vk01", "clone_to_fog",
+                  # All 10 paper environments (VERDICT r4 item 6).
+                  "--environments",
+                  "flying_to_vk01", "flying_to_vk20", "flying_to_campus",
+                  "flying_to_city", "flying_to_road", "clone_to_fog",
+                  "clone_to_rain", "clone_to_campus", "clone_to_city",
+                  "clone_to_road",
                   "--num_steps", str(args.num_steps),
                   "--height", "64", "--width", "96",
                   "--eval_hz", "25", "--ovs_validate_hz", "10",
