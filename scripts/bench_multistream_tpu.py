@@ -60,6 +60,10 @@ def main():
                         "error under bf16 model noise; 2.4x faster backward "
                         "— artifacts/exp_warp_precision_r4.log). Use "
                         "'highest' for the exact-parity measurement.")
+    p.add_argument("--pallas_tower", action="store_true",
+                   help="fused Pallas refinement tower (ops/pallas/tower.py);"
+                        " at fleet batch sizes the per-call overheads"
+                        " amortize over N streams")
     p.add_argument("--certify", action="store_true",
                    help="paper-shape fleet certification: per-stream grads "
                         "from the sharded fleet fwd+bwd == running each "
@@ -84,7 +88,8 @@ def main():
     hs, ws = a.height // 2 ** s, a.width // 2 ** s
     dtype = jnp.bfloat16 if a.dtype == "bfloat16" else None
     model = StereoModel(k=k, input_scale=s, dtype=dtype,
-                        fused_siamese=a.fused, s2d_refinement=a.fused)
+                        fused_siamese=a.fused, s2d_refinement=a.fused,
+                        pallas_tower=a.pallas_tower)
     rng = np.random.RandomState(0)
     left = jnp.asarray(rng.rand(1, hs, ws, 3), jnp.float32)
     state0 = create_train_state(model, jax.random.PRNGKey(0), left, left, 5e-5)
