@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "of the first validation's scale (catches "
                              "photometric-consistent collapse, which the "
                              "loss-threshold guard cannot see); 0 disables")
+        sp.add_argument("--ovs_guard_lr_factor", type=float, default=0.0,
+                        help="streaming engines: GT-FREE guard channel — "
+                             "roll back when the L-R cross-consistency "
+                             "error on a fixed probe pair exceeds factor x "
+                             "its pre-adaptation value (healthy adaptation "
+                             "repairs cross-view geometry, collapse breaks "
+                             "it; artifacts/gtfree_study_r5); 0 disables")
         sp.add_argument("--loss_dtype", default="",
                         choices=["", "float32", "bfloat16"],
                         help="flat engine: dtype of the single-sided "
@@ -183,6 +190,8 @@ def options_to_config(opt) -> ExperimentConfig:
                           ovs_guard_disp_band=getattr(opt, "ovs_guard_disp_band", 0.0),
                           ovs_guard_train_epe_factor=getattr(
                               opt, "ovs_guard_train_epe_factor", 0.0),
+                          ovs_guard_lr_factor=getattr(
+                              opt, "ovs_guard_lr_factor", 0.0),
                           smoothness_weight=opt.smoothness_weight,
                           consistency_weight=opt.consistency_weight,
                           leftright_consistency=opt.leftright_consistency,
@@ -230,6 +239,8 @@ def main(argv=None) -> int:
                      getattr(opt, "ovs_guard_disp_band", 0.0)),
                     ("--ovs_guard_train_epe_factor",
                      getattr(opt, "ovs_guard_train_epe_factor", 0.0)),
+                    ("--ovs_guard_lr_factor",
+                     getattr(opt, "ovs_guard_lr_factor", 0.0)),
                 ] if val > 0.0]
             if guard_flags:
                 # The trust-region guard lives in the streaming driver;

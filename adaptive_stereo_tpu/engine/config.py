@@ -115,6 +115,15 @@ class AdaptConfig:
     # catch photometric-consistent collapse; artifacts/paper_scale_r4).
     # 0 disables.
     ovs_guard_train_epe_factor: float = 0.0
+    # Fourth guard channel (OVS-validation boundary, GT-FREE): roll back
+    # when the L-R cross-consistency error on a fixed probe pair exceeds
+    # factor x its pre-adaptation value. The round-5 study measured healthy
+    # adaptation REPAIRING cross-view geometry (29.2 -> 5.6) while
+    # photometric-consistent collapse breaks it (-> 30-44) — 5.3x
+    # late-stage separation with no ground truth required
+    # (artifacts/gtfree_study_r5/ANALYSIS.md; measured factor 1.3 separates
+    # all three studied trajectories). 0 disables.
+    ovs_guard_lr_factor: float = 0.0
     skip_initial_eval: bool = False
     # Experience-replay (training-domain) dataset.
     train_dataset_path: str = ""

@@ -33,13 +33,14 @@ from .stream_adapt import LOG_COLS, init_stream_state, make_streaming_steps
 
 
 class TrustRegionGuard:
-    """Divergence guard, three channels (framework-new; no reference
+    """Divergence guard, four channels (framework-new; no reference
     counterpart). Keeps a snapshot of the model/optimizer state and rolls
     back to it when a channel flags the current trajectory as diverged.
     Each channel is independently optional; all off = exact reference
-    behavior. The channel design is grounded in the round-4 paper-scale
-    guard study (artifacts/paper_scale_r4/ANALYSIS.md), which measured
-    which signals can and cannot see real divergence:
+    behavior. The channel design is grounded in the round-4 and round-5
+    paper-scale guard studies (artifacts/paper_scale_r4/ANALYSIS.md,
+    artifacts/gtfree_study_r5/ANALYSIS.md), which measured which signals
+    can and cannot see real divergence:
 
     1. ``tol`` — OVS-loss trust region: rollback when a validation
        regresses past ``best * (1 + tol)`` or comes back NON-FINITE
@@ -56,18 +57,24 @@ class TrustRegionGuard:
        domain shift the pre-adaptation model is itself scale-degenerate,
        so the reference scale does not separate healthy from collapsed.
     3. ``train_epe_factor`` — GT-supervised forgetting containment at
-       eval boundaries (see check_train_epe()). The one channel measured
+       eval boundaries (see check_train_epe()). The first channel measured
        to contain the collapse: diverged fused-VS restored to the exact
        pre-adaptation train EPE (5.434 vs 106.6 unguarded).
+    4. ``lr_factor`` — GT-FREE L-R cross-consistency vs its pre-adaptation
+       value (see check_lr()). Round-5 measurement: healthy VS+ER repairs
+       cross-view geometry (29.2 -> 5.6) while the collapse breaks it
+       (-> 30-44, photometric loss flat); 5.3x late-stage separation.
     """
 
     CHURN_HARD_FACTOR = 10.0
 
     def __init__(self, tol: float, snapshot_fn, restore_fn,
-                 disp_band: float = 0.0, train_epe_factor: float = 0.0):
+                 disp_band: float = 0.0, train_epe_factor: float = 0.0,
+                 lr_factor: float = 0.0):
         self.tol = float(tol)
         self.disp_band = float(disp_band)
         self.train_epe_factor = float(train_epe_factor)
+        self.lr_factor = float(lr_factor)
         self.snapshot_fn = snapshot_fn
         self.restore_fn = restore_fn
         self.best = float("inf")
@@ -79,15 +86,17 @@ class TrustRegionGuard:
         # never silently break that pairing.
         self.snap = None
         self.epe_snap = None
+        self.lr_snap = None
         self.stale = False
         self.rollbacks = 0
         self.disp_ref = None
         self.train_epe_ref = None
+        self.lr_ref = None
 
     @property
     def enabled(self) -> bool:
         return self.tol > 0.0 or self.disp_band > 0.0 or \
-            self.train_epe_factor > 0.0
+            self.train_epe_factor > 0.0 or self.lr_factor > 0.0
 
     def mark_churn(self):
         self.stale = True
@@ -140,6 +149,43 @@ class TrustRegionGuard:
         # healthy state. The loss channel's `snap`/`best` pairing is
         # untouched (ADVICE r4, medium).
         self.epe_snap = self.snapshot_fn(ss)
+        return ss, False
+
+    def check_lr(self, ss, lr_cons: float):
+        """Fourth channel (GT-FREE; round-5 study
+        artifacts/gtfree_study_r5/ANALYSIS.md): L-R cross-consistency
+        relative to its PRE-ADAPTATION value. Healthy adaptation REPAIRS
+        cross-view geometric agreement (measured 29.2 -> 5.6 over 4000
+        steps) while photometric-consistent collapse breaks it (-> 30-44
+        with the photometric loss flat at 0.22) — direction-awareness is
+        what lets this channel see past a degenerate starting model, which
+        blinds the absolute disparity-scale band (round-4 finding 3).
+        Rolls back when lr_cons exceeds factor x the pinned reference (or
+        is non-finite); in-band checks refresh this channel's own
+        snapshot. Returns (ss, rolled)."""
+        if self.lr_factor <= 0.0:
+            return ss, False
+        if self.lr_ref is None:
+            if np.isfinite(lr_cons):
+                self.lr_ref = max(float(lr_cons), 1e-6)
+                self.lr_snap = self.snapshot_fn(ss)
+                if self.snap is None:
+                    self.snap = self.lr_snap
+            return ss, False
+        if not np.isfinite(lr_cons) or \
+                lr_cons > self.lr_ref * self.lr_factor:
+            target = self.lr_snap if self.lr_snap is not None else self.snap
+            if target is None:
+                return ss, False
+            self.rollbacks += 1
+            print(f"[ OVS-GUARD ] L-R cross-consistency {lr_cons:.3f} "
+                  f"exceeds {self.lr_factor:.2f}x its pre-adaptation value "
+                  f"{self.lr_ref:.3f} (geometric disagreement under a flat "
+                  f"photometric loss = collapse signature); rolling back "
+                  f"(rollback #{self.rollbacks})")
+            self.stale = True   # re-baseline the loss channel (ADVICE r4)
+            return self.restore_fn(ss, target), True
+        self.lr_snap = self.snapshot_fn(ss)
         return ss, False
 
     def pin_initial(self, ss, mean_disp: float):
@@ -285,7 +331,8 @@ class _PlateauMachine:
 
 
 def save_stream_checkpoint(folder: str, ss, host_state: dict,
-                           guard_snap=None, guard_epe_snap=None) -> None:
+                           guard_snap=None, guard_epe_snap=None,
+                           guard_lr_snap=None) -> None:
     """Serialize the FULL streaming-adaptation state (VERDICT r3 item 6 —
     framework-new; the reference's only resume artifact is trials.csv,
     adapt.py:247-256): the flat device state (params, Adam moments/count,
@@ -302,6 +349,8 @@ def save_stream_checkpoint(folder: str, ss, host_state: dict,
         payload["guard_snap"] = jax.device_get(guard_snap)
     if guard_epe_snap is not None:
         payload["guard_epe_snap"] = jax.device_get(guard_epe_snap)
+    if guard_lr_snap is not None:
+        payload["guard_lr_snap"] = jax.device_get(guard_lr_snap)
     with open(os.path.join(folder, "stream_state.msgpack"), "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
     with open(os.path.join(folder, "host_state.json"), "w") as f:
@@ -329,7 +378,8 @@ def load_stream_checkpoint(folder: str, ss_template):
 
     with open(os.path.join(folder, "host_state.json")) as f:
         host_state = _json.load(f)
-    return ss, host_state, _snap("guard_snap"), _snap("guard_epe_snap")
+    return (ss, host_state, _snap("guard_snap"), _snap("guard_epe_snap"),
+            _snap("guard_lr_snap"))
 
 
 def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
@@ -551,13 +601,44 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
     guard = TrustRegionGuard(
         ac.ovs_guard_tolerance, guard_snapshot, guard_restore,
         disp_band=getattr(ac, "ovs_guard_disp_band", 0.0),
-        train_epe_factor=getattr(ac, "ovs_guard_train_epe_factor", 0.0))
+        train_epe_factor=getattr(ac, "ovs_guard_train_epe_factor", 0.0),
+        lr_factor=getattr(ac, "ovs_guard_lr_factor", 0.0))
+
+    lr_probe = None
+    if guard.lr_factor > 0.0:
+        # GT-free L-R cross-consistency probe on a FIXED adapt-val pair
+        # (eval mode — the round-5 study's measurement verbatim;
+        # artifacts/gtfree_study_r5/ANALYSIS.md). One flipped-batch forward
+        # per OVS validation.
+        from ..ops import linear_warp
+
+        first_val = next(iter(adapt_val_loader))
+        _pl = jax.device_put(jnp.asarray(first_val[f"color_l/{s}"])[:1])
+        _pr = jax.device_put(jnp.asarray(first_val[f"color_r/{s}"])[:1])
+
+        @jax.jit
+        def _lr_probe(params, bstats):
+            flip = lambda x: x[:, :, ::-1, :]
+            outs = model.apply(
+                {"params": params, "batch_stats": bstats},
+                jnp.concatenate([_pl, flip(_pr)], 0),
+                jnp.concatenate([_pr, flip(_pl)], 0), side="l",
+                train=False)
+            pred = outs[f"pred_disp_l/{s}"]
+            d_l, d_r = pred[0:1], flip(pred[1:2])
+            warped, mask = linear_warp(d_r, d_l, max_disp=mc.maxdisp)
+            return (jnp.sum(jnp.abs(warped - d_l) * mask)
+                    / jnp.maximum(jnp.sum(mask), 1.0))
+
+        def lr_probe(ss):
+            v = current_variables(ss)
+            return float(_lr_probe(v["params"], v["batch_stats"]))
 
     resume_step = 0
     if resume_from is not None:
         if engine != "flat":
             raise ValueError("resume_from requires engine='flat'")
-        ss, host, guard.snap, guard.epe_snap = \
+        ss, host, guard.snap, guard.epe_snap, guard.lr_snap = \
             load_stream_checkpoint(resume_from, ss)
         machine.state = State[host["machine_state"]]
         machine.prev_loss = float(host["prev_loss"])
@@ -570,6 +651,8 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
             guard.disp_ref = float(host["guard"]["disp_ref"])
         if host["guard"].get("train_epe_ref") is not None:
             guard.train_epe_ref = float(host["guard"]["train_epe_ref"])
+        if host["guard"].get("lr_ref") is not None:
+            guard.lr_ref = float(host["guard"]["lr_ref"])
         resume_step = int(host["step"])
         print(f"[ RESUME ] restored streaming state at step {resume_step} "
               f"(machine={machine.state.name}, OVS size={int(ss.reservoir.size)})")
@@ -630,9 +713,19 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                  "guard": {"best": guard.best, "stale": guard.stale,
                            "rollbacks": guard.rollbacks,
                            "disp_ref": guard.disp_ref,
-                           "train_epe_ref": guard.train_epe_ref},
+                           "train_epe_ref": guard.train_epe_ref,
+                           "lr_ref": guard.lr_ref},
                  "step": int(tag), "gradient_updates": gradient_updates},
-                guard_snap=guard.snap, guard_epe_snap=guard.epe_snap)
+                guard_snap=guard.snap, guard_epe_snap=guard.epe_snap,
+                guard_lr_snap=guard.lr_snap)
+
+    if guard.lr_factor > 0.0 and resume_from is None:
+        # Pin the pre-adaptation L-R cross-consistency (fourth channel's
+        # direction-aware reference) before the stream starts.
+        ss, _ = guard.check_lr(ss, lr_probe(ss))
+        print(f"[ OVS-GUARD ] pre-adaptation L-R cross-consistency = "
+              f"{guard.lr_ref:.3f}; rollback above "
+              f"{guard.lr_ref * guard.lr_factor:.3f}")
 
     if guard.train_epe_factor > 0.0 and resume_from is None:
         # Pin the pre-adaptation train-domain EPE (the forgetting-guard
@@ -753,6 +846,8 @@ def adapt_streaming(cfg: ExperimentConfig, variables: Optional[dict] = None,
                     if int(size) > 0 and use_vs:
                         ss, rolled = guard.check(ss, float(avg),
                                                  float(mean_disp))
+                        if not rolled and guard.lr_factor > 0.0:
+                            ss, rolled = guard.check_lr(ss, lr_probe(ss))
                         if rolled:
                             # A rolled-back validation does not feed the
                             # plateau machine: the regressed loss belongs to

@@ -58,8 +58,11 @@ def parse_args():
 
 # Phase-3 configs of run_paper_scale_synth.py (must match for determinism).
 CONFIGS = {
-    "faithful": dict(fused=False, dtype="float32"),
-    "fused": dict(fused=True, dtype="float32"),
+    "faithful": dict(fused=False, dtype="float32", mode="VS"),
+    "fused": dict(fused=True, dtype="float32", mode="VS"),
+    # Healthy comparator: VS+ER has never diverged in any round — the
+    # baseline a GT-free channel must NOT flag.
+    "vser": dict(fused=True, dtype="float32", mode="VS+ER"),
 }
 
 
@@ -184,7 +187,8 @@ def main():
                             split="synth", height=a.height, width=a.width,
                             batch_size=1, num_workers=4),
             adapt=AdaptConfig(
-                adapt_mode="VS", num_steps=a.adapt_steps, eval_hz=1000,
+                adapt_mode=copts["mode"], num_steps=a.adapt_steps,
+                eval_hz=1000,
                 ovs_buffer_size=16, ovs_validate_hz=200,
                 val_improve_retries=2, er_loss_weight=0.05,
                 ood_threshold=threshold, skip_initial_eval=True,

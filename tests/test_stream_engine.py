@@ -562,6 +562,48 @@ def test_trust_region_guard_per_channel_snapshots():
     assert not rolled and g.best == pytest.approx(1.08) and g.snap == "m5"
 
 
+def test_trust_region_guard_lr_channel():
+    """Fourth (GT-free) channel semantics, grounded in the round-5 study
+    (artifacts/gtfree_study_r5/ANALYSIS.md): the L-R cross-consistency
+    reference pins at the PRE-adaptation value; improving (healthy) values
+    refresh the channel's own snapshot; exceeding factor x ref (the
+    measured collapse signature) rolls back to the last healthy snapshot
+    and re-baselines the loss channel."""
+    from adaptive_stereo_tpu.engine.stream_driver import TrustRegionGuard
+
+    g = TrustRegionGuard(0.1, lambda s: s, lambda s, snap: snap,
+                         lr_factor=1.3)
+    assert g.enabled
+    # Pin: pre-adaptation value 20.5 (the study's fused run start).
+    s, rolled = g.check_lr("pre", 20.5)
+    assert not rolled and g.lr_ref == 20.5 and g.lr_snap == "pre"
+    # Healthy repair (study vser: 29 -> 5.6): in-band, snapshot follows.
+    s, rolled = g.check_lr("healthy1", 10.8)
+    assert not rolled and g.lr_snap == "healthy1"
+    s, rolled = g.check_lr("healthy2", 5.6)
+    assert not rolled and g.lr_snap == "healthy2"
+    # Collapse signature (study fused: -> 30-44 > 1.3 x 20.5 = 26.6).
+    s, rolled = g.check_lr("collapsing", 30.0)
+    assert rolled and s == "healthy2" and g.rollbacks == 1
+    # The loss channel re-baselines after a foreign rollback (ADVICE r4).
+    assert g.stale
+    # Non-finite probes roll back too.
+    s, rolled = g.check_lr("nan_model", float("nan"))
+    assert rolled and s == "healthy2" and g.rollbacks == 2
+    # Loss-channel snapshot pairing is untouched by this channel's refreshes.
+    g2 = TrustRegionGuard(0.1, lambda s: s, lambda s, snap: snap,
+                          lr_factor=1.3)
+    g2.check_lr("pre", 20.0)
+    g2.check("m1", 1.0)
+    assert g2.best == 1.0 and g2.snap == "m1"
+    g2.check_lr("m2", 8.0)
+    assert g2.snap == "m1" and g2.lr_snap == "m2"
+    # Disabled channel is inert.
+    g3 = TrustRegionGuard(0.0, lambda s: s, lambda s, snap: snap)
+    s, rolled = g3.check_lr("x", 1e9)
+    assert not rolled and g3.rollbacks == 0
+
+
 def test_trust_region_guard_disp_channel_without_pin():
     """ADVICE r4 (low): disp_band armed, pin_initial never called, snapshot
     pinned by ANOTHER channel, and the FIRST validation's mean_disp is
