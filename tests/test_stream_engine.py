@@ -744,6 +744,37 @@ def test_ovs_guard_rolls_back_on_regression(env, tmp_path):
 
 
 @pytest.mark.slow
+def test_ovs_guard_lr_channel_wiring(env, tmp_path):
+    """ovs_guard_lr_factor wiring (the GT-free fourth channel, round-5
+    study artifacts/gtfree_study_r5/ANALYSIS.md): the driver pins the
+    pre-adaptation L-R cross-consistency reference from a real
+    flipped-batch eval probe, re-probes at every OVS validation, and rolls
+    back when the probe exceeds factor x the reference. A vanishing factor
+    makes every post-pin validation a rollback (any real probe value
+    exceeds ref x 1e-6); a huge factor must stay silent. Channel decision
+    semantics are unit-covered by test_trust_region_guard_lr_channel; the
+    organic collapse-vs-healthy separation is the committed round-5
+    study."""
+    from adaptive_stereo_tpu.engine import adapt_streaming
+
+    train_root, novel_root, variables = env
+    kw = dict(adapt_mode="VS", num_steps=16, eval_hz=16,
+              ovs_buffer_size=4, ovs_validate_hz=4, val_improve_retries=99,
+              ood_threshold=1e9, skip_initial_eval=True)
+
+    cfg_fire = _adapt_cfg(train_root, novel_root, str(tmp_path), "lr_fire",
+                          ovs_guard_lr_factor=1e-6, **kw)
+    r_fire = adapt_streaming(cfg_fire, variables=variables, engine="flat")
+    assert r_fire["guard_rollbacks"] >= 1
+    assert bool(jnp.isfinite(r_fire["stream_state"].theta).all())
+
+    cfg_calm = _adapt_cfg(train_root, novel_root, str(tmp_path), "lr_calm",
+                          ovs_guard_lr_factor=1e9, **kw)
+    r_calm = adapt_streaming(cfg_calm, variables=variables, engine="flat")
+    assert r_calm["guard_rollbacks"] == 0
+
+
+@pytest.mark.slow
 def test_ovs_guard_train_epe_channel(env, tmp_path, monkeypatch):
     """ovs_guard_train_epe_factor wiring: when the TRAIN-domain eval EPE
     exceeds factor x its pre-adaptation value, the driver rolls back to the
